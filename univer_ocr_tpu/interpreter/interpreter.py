@@ -1,0 +1,633 @@
+"""Classical-CV post-processing between the cascade's models.
+
+Covers the reference interpreter (interpreter/interpreter.py:16-614):
+paragraph crop + deskew, line band matching/cropping/zooming, ground-truth
+char labeling from bit planes, prediction->text decoding, and the pure
+ground-truth `interpret()` decoder.
+
+Rebuilt host-side with two structural performance changes (everything else
+is behavior-parity, exercised by tests/test_interpreter.py):
+
+  1. **Deskew search** — the reference ternary-searches the rotation angle,
+     calling `ndimage.rotate` on the whole mask per probe through two
+     nested worker *processes* per crop (interpreter.py:195-338).  Here the
+     rotated bbox height is computed analytically: rotating by θ maps mask
+     pixels' y to `y·cosθ − x·sinθ`, so height(θ) is a projection range over
+     the pixel coordinate cloud.  One (N,2)·(2,K) matmul scores the whole
+     1°-resolution angle grid at once — same EPS=1.0° answer, no process
+     pools, ~1000x less work.  The actual image rotation still uses
+     `ndimage.rotate` (order=1), exactly like the reference.
+
+  2. **Bit-plane decode** — per-pixel Python loops building 8-bit strings
+     (interpreter.py:548-571) become vectorized base-2 dot products +
+     per-column bincount majority votes.
+
+Worker pools (`MP` switch) are kept for the per-paragraph / per-line
+fan-out so multi-page batches parallelize across host cores.
+"""
+
+import os
+import signal
+from datetime import datetime as dt
+from queue import Empty
+from threading import Thread
+from time import sleep
+
+import numpy as np
+from scipy import ndimage
+
+from ..primitives import BITS_COUNT, CHARS, CHARS_IDS, are_similar, decode_char
+from .parallelism import ERRORS_TO_STOP, MP
+
+
+def label_layer(layer):
+    """Threshold at mean -> connected components -> list of boolean masks
+    (reference interpreter.py:16-21)."""
+    labels, cnt = ndimage.label(layer > np.mean(layer))
+    result = []
+    for l_id in range(cnt):
+        result.append(labels == l_id + 1)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Deskew: analytic rotated-height + angle-grid search
+# ---------------------------------------------------------------------------
+
+def rotate_array(array, angle=None, good_rotation=True):
+    """(B, H, W, C) rotation in the (W, H) plane (reference :188-192)."""
+    if angle is None:
+        return array
+    order = 1 if good_rotation else 0
+    return ndimage.rotate(array, angle, axes=(2, 1), order=order, reshape=True)
+
+
+def object_height_after_rotation(coords, angles_deg):
+    """Height of the ink bbox after `rotate_array` by each angle.
+
+    `coords`: (N, 2) array of (y, x) pixel coordinates of the mask.
+    Under scipy's axes=(2, 1) convention, rotation by θ maps
+    y' = y·cosθ − x·sinθ; bbox height is max(y') − min(y').
+    """
+    t = np.deg2rad(np.atleast_1d(angles_deg))
+    proj = (coords[:, :1] * np.cos(t)[None, :]
+            - coords[:, 1:2] * np.sin(t)[None, :])
+    return proj.max(axis=0) - proj.min(axis=0)
+
+
+def find_rotation_angle(mask, eps=1.0):
+    """Best deskew angle in [0, 180] minimizing rotated bbox height.
+
+    Grid search at `eps` resolution over the pixel-projection heights —
+    the analytic replacement for the reference's process-pool ternary
+    search (interpreter.py:320-338), with the same boundary rule: angles
+    within eps of 0/180 mean "already level", returned as None.
+    """
+    coords = np.argwhere(mask[0, :, :, 0] if mask.ndim == 4 else mask)
+    if len(coords) == 0:
+        return None
+    angles = np.arange(0.0, 180.0 + eps, eps)
+    heights = object_height_after_rotation(coords.astype(np.float64), angles)
+    angle = float(angles[np.argmin(heights)])
+    if not eps <= angle <= 180.0 - eps:
+        return None
+    return angle
+
+
+# ---------------------------------------------------------------------------
+# Line geometry (reference :24-107)
+# ---------------------------------------------------------------------------
+
+def rearrange_points(points_top, points_center, points_bottom):
+    new_top = [
+        sorted(points_top, key=lambda x: np.linalg.norm(center - x))[0]
+        for center in points_center
+    ]
+    new_bottom = [
+        sorted(points_bottom, key=lambda x: np.linalg.norm(center - x))[0]
+        for center in points_center
+    ]
+    return new_top, points_center, new_bottom
+
+
+def get_center_of_mass(lines_top, lines_bottom):
+    top = [np.array(ndimage.center_of_mass(x)) for x in lines_top]
+    bottom = [np.array(ndimage.center_of_mass(x)) for x in lines_bottom]
+    return top, bottom
+
+
+def rearrange_lines(lines_top, lines_bottom):
+    """Match top/bottom line bands by center-of-mass proximity, infer the
+    text orientation (0/90/180/270), and sort lines in reading order
+    (reference interpreter.py:42-82; the reference's UnboundLocalError on
+    degenerate geometry is fixed by defaulting to upright)."""
+    def cm(tops, bottoms):
+        cm_top, cm_bottom = get_center_of_mass(tops, bottoms)
+        return list(zip(cm_top, tops)), list(zip(cm_bottom, bottoms))
+
+    top, bottom = cm(lines_top, lines_bottom)
+    lines_bottom = [
+        sorted(bottom, key=lambda x: np.linalg.norm(c[0] - x[0]))[0][1]
+        for c in top
+    ]
+
+    _, h, w, _ = lines_top[0].shape
+    dist_point = top[0][0] - bottom[0][0]
+    while 0 < dist_point[1] < h or 0 < dist_point[2] < w:
+        dist_point = dist_point * 1000
+
+    def sort_key(x):           # default: upright text, top-to-bottom
+        return x[0][1]
+    rotation = None
+
+    if abs(dist_point[1]) > abs(dist_point[2]):
+        if dist_point[1] < 0:
+            def sort_key(x):
+                return x[0][1]
+            rotation = None
+        elif dist_point[1] > h:
+            def sort_key(x):
+                return -x[0][1]
+            rotation = 180
+    else:
+        if dist_point[2] < 0:
+            def sort_key(x):
+                return x[0][2]
+            rotation = 270
+        elif dist_point[2] > w:
+            def sort_key(x):
+                return -x[0][2]
+            rotation = 90
+
+    top, bottom = cm(lines_top, lines_bottom)
+    lines_top = [t[1] for t in sorted(top, key=sort_key)]
+    lines_bottom = [b[1] for b in sorted(bottom, key=sort_key)]
+    return lines_top, lines_bottom, rotation
+
+
+def get_sort_ids(center, vector, array):
+    """Order points along `vector`'s perpendicular through `center`
+    (pseudoscalar-product split; reference :85-92)."""
+    def pseudoscalar_prod(a, b):
+        return a[1] * b[0] - b[1] * a[0]
+    left = [(i, el) for i, el in enumerate(array)
+            if pseudoscalar_prod(vector, el - center) <= 0]
+    right = [(i, el) for i, el in enumerate(array)
+             if pseudoscalar_prod(vector, el - center) > 0]
+    left = sorted(left, key=lambda x: np.linalg.norm(x[1] - center), reverse=True)
+    right = sorted(right, key=lambda x: np.linalg.norm(x[1] - center))
+    return [i for i, _ in left + right]
+
+
+def get_letter_sort_ids(cm_top, cm_bottom, letter_positions):
+    return get_sort_ids(cm_bottom, cm_top - cm_bottom, letter_positions)
+
+
+def get_line_sort_ids(cm_tops, cm_bottoms, cm_centers):
+    def rotate90(vector):
+        return np.array((vector[1], -vector[0]))
+    return get_sort_ids(cm_bottoms[0], rotate90(cm_tops[0] - cm_bottoms[0]),
+                        cm_centers)
+
+
+def iter_by_indices(iterable, indices):
+    for index in indices:
+        yield iterable[index]
+
+
+# ---------------------------------------------------------------------------
+# Vectorized bit-plane decoding
+# ---------------------------------------------------------------------------
+
+def decode_bits_to_ids(bits):
+    """(..., BITS_COUNT) boolean bit planes -> (...,) char ids.
+
+    LSB-first: id = sum_i bit_i * 2^i (primitives ENCODING_MAP).  Ids >=
+    len(CHARS) are unknown.
+    """
+    weights = (1 << np.arange(BITS_COUNT)).astype(np.int32)
+    return np.tensordot(bits.astype(np.int32), weights, axes=([-1], [0]))
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth decoder (reference interpret(), :110-171)
+# ---------------------------------------------------------------------------
+
+def interpret(layers):
+    """Decode text for every (paragraph, line) directly from ground-truth
+    mask layers — no NN involved.  Used by the web /interpret_data route
+    and as the geometric-contract test for the page generator."""
+    paragraph_layer = np.array(layers['paragraph'])
+    line_top_layer = np.array(layers['line_top'])
+    line_center_layer = np.array(layers['line_center'])
+    line_bottom_layer = np.array(layers['line_bottom'])
+    not_letter_spacing_layer = ~(np.array(layers['letter_spacing']) > 0)
+    char_full_box_layer = np.array(layers['char_full_box']) & not_letter_spacing_layer
+    bits_layers = np.array([
+        np.array(layers[f'bit_{i}']) > 0
+        for i in range(BITS_COUNT)
+    ]) & not_letter_spacing_layer
+
+    char_box_objects = [
+        ((y.start + y.stop - 1) // 2, (x.start + x.stop - 1) // 2)
+        for y, x in ndimage.find_objects(ndimage.label(char_full_box_layer)[0])
+    ]
+    char_box_points = np.zeros_like(char_full_box_layer)
+    for y, x in char_box_objects:
+        char_box_points[y, x] = 1
+
+    result = {}
+
+    labeled_paragraph = label_layer(paragraph_layer)
+    for p_id, paragraph_mask in enumerate(labeled_paragraph):
+        p_y, p_x = ndimage.find_objects(paragraph_mask)[0]
+        start = np.array([p_y.start, p_x.start])
+
+        masked_line_top = label_layer(
+            paragraph_mask[p_y, p_x] * line_top_layer[p_y, p_x])
+        masked_line_center = label_layer(
+            paragraph_mask[p_y, p_x] * line_center_layer[p_y, p_x])
+        masked_line_bottom = label_layer(
+            paragraph_mask[p_y, p_x] * line_bottom_layer[p_y, p_x])
+        cm_top, cm_center, cm_bottom = rearrange_points(
+            [np.array(ndimage.center_of_mass(x)) for x in masked_line_top],
+            [np.array(ndimage.center_of_mass(x)) for x in masked_line_center],
+            [np.array(ndimage.center_of_mass(x)) for x in masked_line_bottom])
+        line_sort_ids = get_line_sort_ids(cm_top, cm_bottom, cm_center)
+
+        for l_id, line in enumerate(iter_by_indices(masked_line_center,
+                                                    line_sort_ids)):
+            s_y, s_x = ndimage.find_objects(line)[0]
+            points = np.argwhere(
+                line[s_y, s_x] * char_box_points[
+                    start[0] + s_y.start:start[0] + s_y.stop,
+                    start[1] + s_x.start:start[1] + s_x.stop])
+            positions = [
+                np.array((y + start[0] + s_y.start, x + start[1] + s_x.start))
+                for y, x in points
+            ]
+            letter_sort_ids = get_letter_sort_ids(
+                start + cm_top[l_id], start + cm_bottom[l_id], positions)
+            res = ''
+            for y, x in iter_by_indices(positions, letter_sort_ids):
+                char_id = int(decode_bits_to_ids(bits_layers[:, y, x]))
+                if char_id >= len(CHARS):
+                    print(f'Could not recognize character at position [{x};{y}]')
+                    continue
+                res += CHARS[char_id]
+            result[(p_id, l_id)] = res
+
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Queue plumbing (reference :174-185)
+# ---------------------------------------------------------------------------
+
+def put_to_queue(queue, data):
+    try:
+        queue.put(data)
+    except ERRORS_TO_STOP:
+        return
+
+
+def get_from_queue(queue):
+    try:
+        return queue.get()
+    except ERRORS_TO_STOP:
+        exit(0)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph crop + deskew (reference :234-378)
+# ---------------------------------------------------------------------------
+
+def crop_and_rotate_single_paragraph(mask, arrays, find_rotation=True, eps=1.0):
+    """Crop one labeled paragraph's bbox from all co-registered arrays and
+    deskew it (reference CropAndRotateSingleParagraph._run/_func:297-347,
+    with the analytic angle search replacing the nested pools)."""
+    _, region_y, region_x, _ = ndimage.find_objects(mask)[0]
+    cropped_mask = mask[:, region_y, region_x, :]
+    cropped_arrays = [
+        (image * mask)[:, region_y, region_x, :]
+        for image in arrays
+    ]
+
+    angle = find_rotation_angle(cropped_mask, eps) if find_rotation else None
+
+    rotated_mask = rotate_array(cropped_mask, angle, good_rotation=False)
+    _, region_y, region_x, _ = ndimage.find_objects(rotated_mask)[0]
+
+    return [
+        rotate_array(arr, angle)[:, region_y, region_x, :]
+        for arr in cropped_arrays
+    ]
+
+
+class CropAndRotateParagraphs:
+    """Label the paragraph mask and crop/deskew each paragraph, fanned out
+    over a worker pool (reference :350-378).  Returns
+    result[image_id][paragraph_id]."""
+
+    def __init__(self, workers_count=None, find_rotation=True):
+        self.workers_count = (os.cpu_count() if workers_count is None
+                              else workers_count)
+        self.find_rotation = find_rotation
+        self.timers = {'label': dt.now() - dt.now()}
+        self._pool = MP.Pool(self.workers_count)
+
+    def __del__(self):
+        try:
+            self._pool.terminate()
+        except Exception:
+            pass
+
+    def __call__(self, masks, images):
+        ts = dt.now()
+        labeled_paragraph = label_layer(masks)
+        self.timers['label'] += dt.now() - ts
+
+        async_results = [
+            self._pool.apply_async(
+                crop_and_rotate_single_paragraph,
+                (mask, images, self.find_rotation))
+            for mask in labeled_paragraph
+        ]
+
+        result = [[None for _ in labeled_paragraph] for _ in images]
+        for paragraph_id, r in enumerate(async_results):
+            res = r.get()
+            for image_id in range(len(images)):
+                result[image_id][paragraph_id] = res[image_id]
+
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Worker-pool base (reference :381-418)
+# ---------------------------------------------------------------------------
+
+class BaseWorkersPool:
+    """Daemon thread owning an MP.Pool fed through manager queues
+    (reference :381-418) — kept for API parity; subclasses fan work out
+    with pool.apply_async."""
+
+    def __init__(self, workers_count=None):
+        self.manager = MP.mp.Manager()
+        self.input_queue = self.manager.Queue()
+        self.output_queue = self.manager.Queue()
+        self.workers_count = (os.cpu_count() if workers_count is None
+                              else workers_count)
+        self.done = MP.mp.Event()
+        self.run_thread = Thread(target=self._run, daemon=True)
+        self.run_thread.start()
+
+    def __del__(self):
+        self.done.set()
+        sleep(0.001)
+
+    def __call__(self, *args, **kwargs):
+        put_to_queue(self.input_queue, (args, kwargs))
+        result = get_from_queue(self.output_queue)
+        return result
+
+    @staticmethod
+    def init_worker():
+        if MP.is_multiprocessing_used:
+            signal.signal(signal.SIGINT, signal.SIG_IGN)
+
+    def _run(self):
+        with MP.Pool(self.workers_count, self.init_worker) as pool:
+            while not self.done.is_set():
+                try:
+                    args, kwargs = self.input_queue.get(True, 0.001)
+                except Empty:
+                    continue
+                except ERRORS_TO_STOP:
+                    break
+                result = self._func(pool, *args, **kwargs)
+                put_to_queue(self.output_queue, result)
+
+    def _func(self, pool, *args, **kwargs):
+        raise NotImplementedError()
+
+
+# ---------------------------------------------------------------------------
+# Line crop/rotate/zoom (reference :421-523)
+# ---------------------------------------------------------------------------
+
+class CropRotateAndZoomLines(BaseWorkersPool):
+    def __init__(self, workers_count=None, zoomed_height=None, minimal_width=None):
+        super().__init__(workers_count)
+        self.zoomed_height = zoomed_height
+        self.minimal_width = minimal_width
+        self.timers = {
+            'mask_mean': dt.now() - dt.now(),
+            'rearrange': dt.now() - dt.now(),
+            'slices': dt.now() - dt.now(),
+            'crop_and_rotate': dt.now() - dt.now(),
+        }
+
+    def __call__(self, masks, arrays):
+        return super().__call__(masks, arrays)
+
+    def _func(self, pool, masks, arrays):
+        def thresholded(arr):
+            return arr > 0.5 * (np.mean(arr) + np.max(arr))
+
+        rearrange_ts = dt.now()
+
+        async_rearranged = []
+        for mask, *_ in zip(masks, *arrays):
+            mask_mean_ts = dt.now()
+            top = thresholded(mask[:, :, :, 0:1])
+            bottom = thresholded(mask[:, :, :, 1:2])
+            self.timers['mask_mean'] += dt.now() - mask_mean_ts
+
+            r = pool.apply_async(rearrange_lines, (
+                label_layer(top), label_layer(bottom)))
+            async_rearranged.append(r)
+
+        slices_ts = dt.now()
+
+        async_slices = []
+        result = [[] for _ in arrays]
+        for paragraph_id, _ in enumerate(zip(masks, *arrays)):
+            for array_id in range(len(arrays)):
+                result[array_id].append([])
+            top_mask, bottom_mask, rotation = async_rearranged[paragraph_id].get()
+            for line_id in range(len(top_mask)):
+                for array_id in range(len(arrays)):
+                    result[array_id][paragraph_id].append(None)
+                index = (paragraph_id, line_id)
+                r = pool.apply_async(self._merge_band_bboxes, (
+                    top_mask[line_id], bottom_mask[line_id]))
+                async_slices.append((index, r, rotation))
+
+        self.timers['rearrange'] += dt.now() - rearrange_ts
+        crop_and_rotate_ts = dt.now()
+
+        async_res = []
+        for (paragraph_id, line_id), slices, rotation in async_slices:
+            y, x = slices.get()
+            for array_id in range(len(arrays)):
+                index = (array_id, paragraph_id, line_id)
+                r = pool.apply_async(self._crop_rotate_zoom, (
+                    arrays[array_id][paragraph_id], y, x, rotation,
+                    self.zoomed_height, self.minimal_width))
+                async_res.append((index, r))
+
+        self.timers['slices'] += dt.now() - slices_ts
+
+        for (array_id, paragraph_id, line_id), res in async_res:
+            result[array_id][paragraph_id][line_id] = res.get()
+        self.timers['crop_and_rotate'] += dt.now() - crop_and_rotate_ts
+
+        return result
+
+    @staticmethod
+    def _merge_band_bboxes(top_mask, bottom_mask):
+        """Union bbox of the matched top/bottom bands (reference :494-502)."""
+        _, top_y, top_x, _ = ndimage.find_objects(top_mask)[0]
+        _, bottom_y, bottom_x, _ = ndimage.find_objects(bottom_mask)[0]
+        y = slice(min(top_y.start, bottom_y.start),
+                  max(top_y.stop, bottom_y.stop))
+        x = slice(min(top_x.start, bottom_x.start),
+                  max(top_x.stop, bottom_x.stop))
+        return y, x
+
+    @staticmethod
+    def _crop_rotate_zoom(image, y, x, rotation, zoomed_height, minimal_width):
+        """Crop a line band, fix its orientation, zoom to the Char model's
+        input height, pad to its minimum width (reference :504-523)."""
+        final_image = image[:, y, x, :]
+
+        if rotation is not None:
+            final_image = rotate_array(final_image, rotation)
+
+        if zoomed_height is not None:
+            height = final_image.shape[1]
+            zf = zoomed_height / height
+            final_image = ndimage.zoom(final_image, (1, zf, zf, 1), order=0)
+
+        if minimal_width is not None and final_image.shape[2] < minimal_width:
+            bs, h, w, ch = final_image.shape
+            tmp = np.zeros((bs, h, minimal_width, ch), dtype=final_image.dtype)
+            tmp[:, :, :w, :] = final_image
+            final_image = tmp
+
+        return final_image
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth char labels from bit planes (reference :526-571)
+# ---------------------------------------------------------------------------
+
+def label_char_line(array):
+    """(1, H, W, >=8) bit-plane crop -> (W, len(CHARS)) one-hot labels.
+
+    Vectorized port of reference LabelChar._func1 (:548-571): threshold at
+    0.5*(mean+max), decode each pixel's 8 bits to a char id, then
+    per-column majority vote; winning ids >= len(CHARS) (unknown) leave a
+    zero row.  Ties break toward the smallest id (the reference broke them
+    by first occurrence down the column — only relevant on exact ties).
+    """
+    thresholded = array > 0.5 * (np.mean(array) + np.max(array))
+    bits = thresholded[0, :, :, :BITS_COUNT]            # (H, W, 8)
+    ids = decode_bits_to_ids(bits)                      # (H, W)
+
+    H, W = ids.shape
+    counts = np.zeros((W, 256), dtype=np.int32)
+    np.add.at(counts, (np.broadcast_to(np.arange(W), (H, W)).ravel(),
+                       ids.ravel()), 1)
+    winners = counts.argmax(axis=1)                     # (W,)
+
+    result = np.zeros((W, len(CHARS)))
+    valid = winners < len(CHARS)
+    result[np.arange(W)[valid], winners[valid]] = 1
+    return result
+
+
+class LabelChar(BaseWorkersPool):
+    def __call__(self, arrays):
+        return super().__call__(arrays)
+
+    def _func(self, pool, arrays):
+        result = []
+        async_res = []
+        for paragraph_id in range(len(arrays)):
+            result.append([])
+            for line_id in range(len(arrays[paragraph_id])):
+                result[paragraph_id].append(None)
+                r = pool.apply_async(label_char_line,
+                                     (arrays[paragraph_id][line_id],))
+                async_res.append(((paragraph_id, line_id), r))
+
+        for (paragraph_id, line_id), res in async_res:
+            result[paragraph_id][line_id] = res.get()
+
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Prediction -> text (reference :574-614)
+# ---------------------------------------------------------------------------
+
+def pred_to_text_line(prediction, collapse_runs=False):
+    """(W, len(CHARS)) scores -> decoded string.
+
+    Reference semantics (PredToText._func1, :596-614): per-column argmax
+    (columns whose max is exactly 0 are skipped), tab (id 0) resets the
+    previous-char memory, and consecutive *similar-pair* glyphs are
+    dropped.  `collapse_runs=True` additionally collapses consecutive
+    identical characters between tab separators — the correction that
+    turns per-column labels into per-character text.
+    """
+    prediction = np.asarray(prediction)
+    max_vals = prediction.max(axis=1)
+    ids = prediction.argmax(axis=1)
+    valid = max_vals != 0.0
+
+    result = ''
+    prev_char = None
+    for col in range(prediction.shape[0]):
+        if not valid[col]:
+            continue
+        char_id = int(ids[col])
+        if char_id == 0:
+            prev_char = None
+            continue
+        cur_char = CHARS[char_id]
+        if are_similar(cur_char, prev_char):
+            continue
+        if collapse_runs and cur_char == prev_char:
+            continue
+        result += cur_char
+        prev_char = cur_char
+    return result
+
+
+class PredToText(BaseWorkersPool):
+    def __init__(self, workers_count=None, collapse_runs=False):
+        super().__init__(workers_count)
+        self.collapse_runs = collapse_runs
+
+    def __call__(self, prediction):
+        return super().__call__(prediction)
+
+    def _func(self, pool, prediction):
+        result = []
+        async_res = []
+        for paragraph_id in range(len(prediction)):
+            result.append([])
+            for line_id in range(len(prediction[paragraph_id])):
+                result[paragraph_id].append(None)
+                r = pool.apply_async(
+                    pred_to_text_line,
+                    (prediction[paragraph_id][line_id], self.collapse_runs))
+                async_res.append(((paragraph_id, line_id), r))
+
+        for (paragraph_id, line_id), res in async_res:
+            result[paragraph_id][line_id] = res.get()
+
+        return result
