@@ -1,0 +1,214 @@
+"""End-to-end cascade tests: model zoo shapes, full PREDICT pipeline,
+training modes, checkpoint roundtrip, bucketing exactness."""
+
+import json
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from univer_ocr_tpu.models import (Modes, make_char, make_context_maker,
+                                   make_divisible_by, make_line,
+                                   make_model_system, make_monochrome,
+                                   make_paragraph)
+from univer_ocr_tpu.models.bucketing import pad_to_bucket, trim_nhwc, trim_rows  # noqa: F401
+from univer_ocr_tpu.models.datasets import GeneratorDataset
+from univer_ocr_tpu.nn.optimizers import Adam
+from univer_ocr_tpu.primitives import CHARS
+
+PAGE_SHAPE = (1, 496, 736, 1)   # 720x480 page after /16 padding
+
+
+@pytest.fixture(scope='module')
+def page_layers():
+    random.seed(42)
+    np.random.seed(42)
+    dataset = GeneratorDataset(1, 720, 480)
+    return dataset.get(0)
+
+
+def test_model_zoo_shapes():
+    mono = make_monochrome(PAGE_SHAPE)
+    assert mono.get_output_shapes([PAGE_SHAPE]) == [PAGE_SHAPE]
+
+    para = make_paragraph(PAGE_SHAPE)
+    assert para.get_output_shapes([PAGE_SHAPE]) == [PAGE_SHAPE]
+
+    line = make_line(PAGE_SHAPE)
+    assert line.get_output_shapes([PAGE_SHAPE]) == [(1, 496, 736, 2)]
+
+    char = make_char(PAGE_SHAPE)
+    out = char.get_output_shapes([(1, 32, 736, 1)])
+    assert out == [(736, len(CHARS))]
+
+
+def test_checkpoint_namespace():
+    """Leaf names must match the reference's model_weights.json keys
+    (e.g. Paragraph/down_1/conv_1, Char/dense_block/dense_1)."""
+    para = make_paragraph(PAGE_SHAPE)
+    keys = set(para.get_weights().keys())
+    assert 'Paragraph/down_1/conv_1' in keys
+    assert 'Paragraph/up_1/conv_block/conv_1' in keys
+    assert 'Paragraph/end/conv_1' in keys
+
+    char = make_char(PAGE_SHAPE)
+    keys = set(char.get_weights().keys())
+    assert 'Char/conv_block/conv_1' in keys
+    assert 'Char/dense_block/dense_1' in keys
+    assert 'Char/dense_block/dense_3' in keys
+
+
+def test_monochrome_train_step(page_layers):
+    opt = Adam(lr=1e-3)
+    model = make_monochrome(PAGE_SHAPE, opt)
+    X = page_layers['image']
+    y = page_layers['monochrome']
+    losses = model.train(X, y)
+    assert 'output_losses' in losses and len(losses['output_losses']) == 1
+    assert np.isfinite(losses['output_losses'][0])
+    assert np.isfinite(losses['regularization_loss'])
+
+
+def test_context_makers(page_layers):
+    def fake_get(*args, layer_tags=None, **kwargs):
+        return {tag: page_layers[tag] for tag in layer_tags}
+
+    ctx = make_context_maker(Modes.TRAIN_MONOCHROME)(fake_get)
+    assert set(ctx) == {'monochrome_X', 'monochrome_y'}
+    ctx = make_context_maker(Modes.TRAIN_PARAGRAPH)(fake_get)
+    assert set(ctx) == {'paragraph_X', 'paragraph_y'}
+    ctx = make_context_maker(Modes.TRAIN_LINE)(fake_get)
+    assert set(ctx) == {'monochrome_pred_cpu', 'paragraph_pred_cpu', 'line_cpu'}
+    ctx = make_context_maker(Modes.PREDICT)(fake_get)
+    assert set(ctx) == {'monochrome_X'}
+
+
+def test_train_monochrome_mode_system(page_layers):
+    system, models, names = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), mode=Modes.TRAIN_MONOCHROME)
+    assert names == ['Monochrome']
+    context = make_context_maker(Modes.TRAIN_MONOCHROME)(
+        lambda *a, layer_tags=None, **k: {
+            t: page_layers[t] for t in layer_tags})
+    system.train(context)
+    assert 'Monochrome' in context['losses']
+    assert context['monochrome_pred'].shape == PAGE_SHAPE
+
+
+def test_full_predict_pipeline(page_layers):
+    """The whole cascade on one generated page with random weights: must
+    run through every stage and produce nested text output (possibly empty
+    — untrained models may detect no paragraphs/lines)."""
+    system, models, names = make_model_system(PAGE_SHAPE, mode=Modes.PREDICT)
+    assert names == ['Monochrome', 'Paragraph', 'ParagraphCrop', 'Line',
+                     'LineCrop', 'Char', 'PredToText']
+    context = {'monochrome_X': page_layers['image']}
+    system.predict(context)
+    assert 'text' in context
+    assert isinstance(context['text'], list)          # [paragraph][line] -> str
+    for para in context['text']:
+        for line in para:
+            assert isinstance(line, str)
+
+
+def test_train_char_mode_full_host_chain(page_layers):
+    """TRAIN_CHAR drives ParagraphCrop -> LineCrop -> CharLabel -> Char on
+    ground-truth masks — the full host-CV chain with real geometry."""
+    system, models, names = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), mode=Modes.TRAIN_CHAR)
+    assert names == ['ParagraphCrop', 'LineCrop', 'CharLabel', 'Char']
+    context = make_context_maker(Modes.TRAIN_CHAR)(
+        lambda *a, layer_tags=None, **k: {
+            t: page_layers[t] for t in layer_tags})
+    system.train(context)
+    assert 'Char' in context['losses']
+    assert np.isfinite(context['losses']['Char']['output_losses'][0])
+    # predictions exist for every line of every paragraph
+    n_lines = sum(len(p) for p in context['char_pred'])
+    assert n_lines >= 1
+    for para in context['char_pred']:
+        for line_pred in para:
+            assert np.asarray(line_pred).shape[1] == len(CHARS)
+
+
+def test_train_line_mode_system(page_layers):
+    """TRAIN_LINE: ParagraphCrop on ground truth then Line model training."""
+    system, models, names = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), mode=Modes.TRAIN_LINE)
+    assert names == ['ParagraphCrop', 'Line']
+    context = make_context_maker(Modes.TRAIN_LINE)(
+        lambda *a, layer_tags=None, **k: {
+            t: page_layers[t] for t in layer_tags})
+    system.train(context)
+    assert 'Line' in context['losses']
+    assert len(context['line_pred']) >= 1
+
+
+def test_weights_json_roundtrip_through_system(tmp_path, page_layers):
+    system, models, _ = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), mode=Modes.TRAIN_MONOCHROME)
+    weights = {name: w for m in models.values()
+               for name, w in m.get_weights().items()}
+    blob = json.dumps(weights, separators=(',', ':'))
+
+    system2, models2, _ = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), weights=json.loads(blob),
+        mode=Modes.TRAIN_MONOCHROME)
+    w1 = models['Monochrome'].get_weights()
+    w2 = models2['Monochrome'].get_weights()
+    for layer in w1:
+        for p in w1[layer]:
+            np.testing.assert_allclose(w1[layer][p], w2[layer][p], rtol=1e-6)
+
+
+def test_masked_line_fastpath_is_exact():
+    """Masked bucketed Line forward == per-shape generic path, including
+    at the right/bottom boundary (the naive pad-and-trim fails there —
+    see fastpath.py)."""
+    from univer_ocr_tpu.models.fastpath import line_forward_masked
+    model = make_line(PAGE_SHAPE)
+    rs = np.random.RandomState(0)
+    for (h, w) in [(96, 112), (64, 64), (80, 208)]:
+        crop = rs.rand(1, h, w, 1).astype(np.float32)
+        direct = np.asarray(model.predict(crop)[0])
+        padded = np.zeros((2, 128, 256, 1), np.float32)   # batch of 2, one dummy
+        padded[0, :h, :w, :] = crop[0]
+        out = np.asarray(line_forward_masked(
+            model.params, jnp.asarray(padded),
+            jnp.asarray([h, 4]), jnp.asarray([w, 4])))
+        np.testing.assert_allclose(out[0:1, :h, :w, :], direct,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_masked_char_fastpath_is_exact():
+    """Masked batched Char forward == per-line generic path."""
+    from univer_ocr_tpu.models.fastpath import char_forward_masked
+    model = make_char(PAGE_SHAPE)
+    rs = np.random.RandomState(1)
+    widths = [50, 64, 23]
+    lines = [rs.rand(1, 32, w, 1).astype(np.float32) for w in widths]
+    directs = [np.asarray(model.predict(line)[0]) for line in lines]
+
+    wb = 64
+    batch = np.zeros((4, 32, wb, 1), np.float32)   # bucket of 4, one dummy
+    ws = np.full((4,), 4, np.int32)
+    for i, line in enumerate(lines):
+        batch[i, :, :line.shape[2], :] = line[0]
+        ws[i] = line.shape[2]
+    out = np.asarray(char_forward_masked(model.params, jnp.asarray(batch),
+                                         jnp.asarray(ws)))
+    for i, w in enumerate(widths):
+        np.testing.assert_allclose(out[i, :w, :], directs[i],
+                                   rtol=2e-5, atol=1e-4)
+
+
+def test_make_divisible_by():
+    arr = np.ones((1, 30, 40, 2))
+    out = make_divisible_by(arr, 16, 16)
+    assert out.shape == (1, 32, 48, 2)
+    assert out.sum() == arr.sum()
+    # reference always adds at least one unit
+    out = make_divisible_by(np.ones((1, 32, 32, 1)), 16, 16)
+    assert out.shape == (1, 48, 48, 1)

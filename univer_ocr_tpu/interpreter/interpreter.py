@@ -121,6 +121,10 @@ def rearrange_lines(lines_top, lines_bottom):
     text orientation (0/90/180/270), and sort lines in reading order
     (reference interpreter.py:42-82; the reference's UnboundLocalError on
     degenerate geometry is fixed by defaulting to upright)."""
+    if not lines_top or not lines_bottom:
+        # Degenerate detection (e.g. untrained Line model): no lines.
+        return [], [], None
+
     def cm(tops, bottoms):
         cm_top, cm_bottom = get_center_of_mass(tops, bottoms)
         return list(zip(cm_top, tops)), list(zip(cm_bottom, bottoms))

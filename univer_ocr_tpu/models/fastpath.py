@@ -1,0 +1,134 @@
+"""Masked fixed-shape forward paths for the cascade's inference hot loop.
+
+Why: paragraph/line crops have data-dependent shapes, and XLA compiles one
+program per shape.  Plain pad-and-trim bucketing is NOT numerically exact
+for multi-layer convs — a conv's bias makes the padded region nonzero, and
+the next conv's boundary columns read those values instead of the implicit
+zero padding the unpadded computation would see.
+
+The fix is masking: zero everything outside the valid region after every
+conv.  Then, by induction over layers, the valid region of the padded
+computation is bit-for-bit the unpadded computation (conv padding_value is
+0 and LeakyReLU(0)=0 throughout this zoo).  The valid extents enter the
+jitted function as *traced scalars*, so one compiled program per bucket
+shape serves every crop size — and lines batch together into one program
+launch per page instead of one per line.
+
+Exactness is asserted against the generic per-shape path in
+tests/test_cascade.py.  Weight keys reference the zoo's checkpoint
+namespace (models/model.py factories; reference my_model/model.py:137-304).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import ops
+
+LEAKY_ALPHA = 0.01
+
+
+def _mask_hw(x, h_valid, w_valid):
+    """Zero NHWC entries with row >= h_valid or col >= w_valid.
+
+    `h_valid`/`w_valid` are traced scalars or (N,) per-sample vectors.
+    """
+    rows = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    cols = lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    hv = jnp.asarray(h_valid).reshape(-1, 1, 1, 1)
+    wv = jnp.asarray(w_valid).reshape(-1, 1, 1, 1)
+    keep = (rows < hv) & (cols < wv)
+    return jnp.where(keep, x, jnp.zeros_like(x))
+
+
+def _conv(params, key, x, stride=1, padding=2):
+    p = params[key]
+    return ops.conv2d(x, p['w'], p['b'], stride=(stride, stride),
+                      padding=(padding, padding))
+
+
+def _leaky(x):
+    return ops.leaky_relu(x, LEAKY_ALPHA)
+
+
+def line_forward_masked(params, x, h_valid, w_valid, prefix='Line'):
+    """Masked Paragraph/Line FCN forward: x is a bucket-padded (B, H, W, C)
+    crop whose true extent is (h_valid, w_valid) (multiples of 4, as
+    guaranteed by the /16 crop padding).  Returns the full padded output;
+    callers trim to (h_valid, w_valid)."""
+    x = _mask_hw(x, h_valid, w_valid)
+
+    x = _leaky(_conv(params, f'{prefix}/down_1/conv_1', x, stride=2))
+    h2, w2 = h_valid // 2, w_valid // 2
+    x = _mask_hw(x, h2, w2)
+
+    x = _leaky(_conv(params, f'{prefix}/down_2/conv_1', x, stride=2))
+    h4, w4 = h_valid // 4, w_valid // 4
+    x = _mask_hw(x, h4, w4)
+
+    x = ops.upsample2d(x, 2)
+    x = _leaky(_conv(params, f'{prefix}/up_2/conv_block/conv_1', x))
+    x = _mask_hw(x, h2, w2)
+
+    x = ops.upsample2d(x, 2)
+    x = _leaky(_conv(params, f'{prefix}/up_1/conv_block/conv_1', x))
+    x = _mask_hw(x, h_valid, w_valid)
+
+    x = _conv(params, f'{prefix}/end/conv_1', x)
+    return ops.sigmoid(x)
+
+
+def char_forward_masked(params, x, w_valid):
+    """Masked Char forward: x is a (N, 32, W, 1) batch of bucket-padded
+    lines, `w_valid` a (N,) vector of true widths.  Returns (N, W,
+    len_chars) logits; row (n, j) is valid for j < w_valid[n].
+
+    Mirrors make_char (models/model.py; reference my_model/model.py:271-304):
+    conv [64,64,64] k(5,3) p(0,1) s(2,1) -> width->batch unfold(8) ->
+    flatten -> dense [1024,128,162].  Height is always exactly 32 (the line
+    crops are zoomed to CHAR_INPUT_HEIGHT), so only width needs masking.
+    """
+    N, H, W, C = x.shape
+    wv = w_valid.reshape(N, 1, 1, 1)
+
+    def mask_w(t):
+        cols = lax.broadcasted_iota(jnp.int32, t.shape, 2)
+        return jnp.where(cols < wv, t, jnp.zeros_like(t))
+
+    x = mask_w(x)
+    for i in (1, 2, 3):
+        p = params[f'Char/conv_block/conv_{i}']
+        x = ops.conv2d(x, p['w'], p['b'], stride=(2, 1), padding=(0, 1))
+        x = _leaky(x)
+        x = mask_w(x)
+
+    x = ops.unfold_to_fixed_width(x, 8)        # (N*W, 1, 8, 64)
+    x = x.reshape(x.shape[0], -1)              # flatten
+
+    x = ops.dense(x, params['Char/dense_block/dense_1']['w'])
+    x = _leaky(x)
+    x = ops.dense(x, params['Char/dense_block/dense_2']['w'])
+    x = _leaky(x)
+    x = ops.dense(x, params['Char/dense_block/dense_3']['w'])
+
+    return x.reshape(N, W, -1)
+
+
+def monochrome_forward(params, x, prefix='Monochrome'):
+    """Monochrome conv block [16, out] k3 p1, sigmoid end (reference
+    my_model/model.py:108-134).  Fixed page shape — no masking needed."""
+    x = _leaky(_conv(params, f'{prefix}/conv_1', x, padding=1))
+    x = _conv(params, f'{prefix}/conv_2', x, padding=1)
+    return ops.sigmoid(x)
+
+
+class MaskedPredictor:
+    """Shape-bucketed jitted wrapper around a masked forward fn."""
+
+    def __init__(self, forward_fn):
+        self._jit = jax.jit(forward_fn)
+
+    def __call__(self, *args):
+        return self._jit(*args)
