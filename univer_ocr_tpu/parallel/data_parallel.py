@@ -26,10 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-try:
-    from jax import shard_map
-except ImportError:                      # older jax
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def shard_batch(batch, mesh, axis='data'):
@@ -75,7 +72,7 @@ def make_dp_train_step(model, mesh, donate=True):
         local_step, mesh=mesh,
         in_specs=(P(), P(), P(), P('data'), P('data')),
         out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
