@@ -132,3 +132,70 @@ class MaskedPredictor:
 
     def __call__(self, *args):
         return self._jit(*args)
+
+
+# ---------------------------------------------------------------------------
+# Masked TRAINING steps — bucketed shapes, exact per-crop semantics
+# ---------------------------------------------------------------------------
+#
+# Training on variable crop shapes would compile one XLA program per shape
+# (minutes each over a remote-compile link).  These steps train on
+# bucket-padded crops with masking, reproducing the reference's per-crop
+# loss and gradients exactly:
+#   * Line/Paragraph (Dice): prediction is masked *after* the final sigmoid
+#     (sigmoid(0)=0.5 would otherwise inflate the denominator), target is
+#     zero-padded -> per-channel Dice equals the unpadded loss, and invalid
+#     positions contribute zero gradient.
+#   * Char (SoftmaxCE): zero-padded label rows contribute 0 to the loss sum
+#     and have identically-zero logit gradients (sum(g)=0 rows), and the
+#     mean is taken over the *true* width, not the padded batch size.
+
+from ..ops.losses import segmentation_dice_2d, softmax_cross_entropy
+
+
+def masked_line_loss(params, x, y, h_valid, w_valid, prefix='Line',
+                     reg_fn=None):
+    pred = line_forward_masked(params, x, h_valid, w_valid, prefix=prefix)
+    pred = _mask_hw(pred, h_valid, w_valid)
+    out_loss = segmentation_dice_2d(pred, y)
+    reg = reg_fn(params) if reg_fn is not None else 0.0
+    return out_loss + reg, (out_loss, reg, pred)
+
+
+def masked_char_loss(params, x, y, w_valid, reg_fn=None):
+    """x: (1, 32, Wb, C); y: (Wb, n_chars) zero-padded beyond w_valid."""
+    logits = char_forward_masked(params, x,
+                                 jnp.full((x.shape[0],), w_valid))
+    logits = logits.reshape(-1, logits.shape[-1])     # (Wb, n_chars)
+    shifted = logits - jnp.max(logits, axis=1, keepdims=True)
+    log_probs = shifted - jnp.log(
+        jnp.sum(jnp.exp(shifted), axis=1, keepdims=True))
+    # mean over the true width (reference divides by the real batch size,
+    # losses.py:69-71); padded rows are all-zero labels -> 0 contribution.
+    out_loss = -jnp.sum(y * log_probs) / w_valid
+    reg = reg_fn(params) if reg_fn is not None else 0.0
+    return out_loss + reg, (out_loss, reg, logits)
+
+
+def make_masked_train_step(opt, loss_fn):
+    """Generic masked train step factory: jit of value_and_grad + update.
+
+    loss_fn(params, *batch_args) -> (total, (out_loss, reg, pred)).
+    Returns step(params, opt_state, lr, *batch_args) ->
+    (new_params, new_opt_state, out_loss, reg, pred).
+    """
+    def step(params, opt_state, lr, *batch_args):
+        (_, (out_loss, reg, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, *batch_args)
+        new_params, new_opt_state = opt.update(params, grads, opt_state, lr)
+        return new_params, new_opt_state, out_loss, reg, pred
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_masked_eval_step(loss_fn):
+    def step(params, *batch_args):
+        _, (out_loss, reg, pred) = loss_fn(params, *batch_args)
+        return out_loss, reg, pred
+
+    return jax.jit(step)

@@ -41,7 +41,9 @@ from ..nn.regularizations import L2
 from ..primitives import CHARS
 from .bucketing import round_up
 from .constants import LAYER_NAMES
-from .fastpath import char_forward_masked, line_forward_masked
+from .fastpath import (char_forward_masked, line_forward_masked,
+                       make_masked_eval_step, make_masked_train_step,
+                       masked_char_loss, masked_line_loss)
 
 CHAR_INPUT_HEIGHT = 32
 CHAR_FIXED_WIDTH = 8
@@ -495,6 +497,143 @@ class FastCharComponent(ModelComponent):
         context[self.selector.pred_label] = preds
 
 
+class FastLineTrainComponent(ModelComponent):
+    """TRAIN-mode Line component: per-crop sequential optimizer updates
+    (the reference's training order, so trajectories match), but each crop
+    is bucket-padded and trained through the masked step — same loss and
+    gradients as the per-shape path (fastpath.py), O(1) compiled programs
+    instead of one per crop shape."""
+
+    def __init__(self, name, model, selector, delist_result=True, bucket=128):
+        super().__init__(name, model, selector, delist_result)
+        self.bucket = bucket
+        import jax.numpy as jnp
+        from functools import partial
+        self._jnp = jnp
+        opt = model._optimizer()
+        loss_fn = partial(masked_line_loss, prefix=name,
+                          reg_fn=model.regularization_fn)
+        self._train_step = (make_masked_train_step(opt, loss_fn)
+                            if opt is not None else None)
+        self._eval_step = make_masked_eval_step(loss_fn)
+
+    def _pad(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        b, h, w, c = X.shape
+        hb = round_up(h, self.bucket)
+        wb = round_up(w, self.bucket)
+        xp = np.zeros((b, hb, wb, c), np.float32)
+        xp[:, :h, :w, :] = X
+        yp = np.zeros((b, hb, wb, y.shape[3]), np.float32)
+        yp[:, :h, :w, :] = y
+        return xp, yp, h, w
+
+    def _run(self, X, y, training):
+        jnp = self._jnp
+        xp, yp, h, w = self._pad(X, y)
+        model = self.model
+        hj = jnp.asarray(h, jnp.int32)
+        wj = jnp.asarray(w, jnp.int32)
+        if training:
+            opt = model._optimizer()
+            params = model.params
+            opt_state = model._ensure_opt_state(params)
+            new_params, new_opt_state, out_loss, reg, pred = self._train_step(
+                params, opt_state, jnp.asarray(opt.lr, jnp.float32),
+                jnp.asarray(xp), jnp.asarray(yp), hj, wj)
+            model.params = new_params
+            model.opt_state = new_opt_state
+        else:
+            out_loss, reg, pred = self._eval_step(
+                model.params, jnp.asarray(xp), jnp.asarray(yp), hj, wj)
+        pred = np.asarray(pred)[:, :h, :w, :]
+        model.layers_outputs = {0: pred}
+        return ({'output_losses': [float(out_loss)],
+                 'regularization_loss': float(reg)}, pred)
+
+    def train(self, context):
+        self.selector(context)
+        for X, y in self.selector.get():
+            losses, pred = self._run(X, y, training=True)
+            self._record_losses(context, losses)
+            self.selector.put(pred if self.delist_result else [pred])
+
+    def test(self, context):
+        self.selector(context)
+        for X, y in self.selector.get():
+            losses, pred = self._run(X, y, training=False)
+            # test() reports output losses only (reference models.py:256-268)
+            self._record_losses(context, {
+                'output_losses': losses['output_losses']})
+            self.selector.put(pred if self.delist_result else [pred])
+
+
+class FastCharTrainComponent(ModelComponent):
+    """TRAIN-mode Char component: bucketed masked per-line train steps
+    (same rationale as FastLineTrainComponent)."""
+
+    def __init__(self, name, model, selector, delist_result=True, bucket=128):
+        super().__init__(name, model, selector, delist_result)
+        self.bucket = bucket
+        import jax.numpy as jnp
+        from functools import partial
+        self._jnp = jnp
+        opt = model._optimizer()
+        loss_fn = partial(masked_char_loss, reg_fn=model.regularization_fn)
+        self._train_step = (make_masked_train_step(opt, loss_fn)
+                            if opt is not None else None)
+        self._eval_step = make_masked_eval_step(loss_fn)
+
+    def _pad(self, X, y):
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        b, h, w, c = X.shape
+        wb = round_up(w, self.bucket)
+        xp = np.zeros((b, h, wb, c), np.float32)
+        xp[:, :, :w, :] = X
+        yp = np.zeros((wb * b, y.shape[1]), np.float32)
+        yp[:y.shape[0], :] = y
+        return xp, yp, w
+
+    def _run(self, X, y, training):
+        jnp = self._jnp
+        xp, yp, w = self._pad(X, y)
+        model = self.model
+        wj = jnp.asarray(w, jnp.int32)
+        if training:
+            opt = model._optimizer()
+            params = model.params
+            opt_state = model._ensure_opt_state(params)
+            new_params, new_opt_state, out_loss, reg, pred = self._train_step(
+                params, opt_state, jnp.asarray(opt.lr, jnp.float32),
+                jnp.asarray(xp), jnp.asarray(yp), wj)
+            model.params = new_params
+            model.opt_state = new_opt_state
+        else:
+            out_loss, reg, pred = self._eval_step(
+                model.params, jnp.asarray(xp), jnp.asarray(yp), wj)
+        pred = np.asarray(pred)[:w, :]
+        model.layers_outputs = {0: pred}
+        return ({'output_losses': [float(out_loss)],
+                 'regularization_loss': float(reg)}, pred)
+
+    def train(self, context):
+        self.selector(context)
+        for X, y in self.selector.get():
+            losses, pred = self._run(X, y, training=True)
+            self._record_losses(context, losses)
+            self.selector.put(pred if self.delist_result else [pred])
+
+    def test(self, context):
+        self.selector(context)
+        for X, y in self.selector.get():
+            losses, pred = self._run(X, y, training=False)
+            self._record_losses(context, {
+                'output_losses': losses['output_losses']})
+            self.selector.put(pred if self.delist_result else [pred])
+
+
 class Modes(Enum):
     TRAIN_MONOCHROME = 0
     TRAIN_PARAGRAPH = 1
@@ -664,10 +803,13 @@ def make_model_system(input_shape, optimizer=None, progress_tracker=None,
         selector = LineSelector('cropped_monochrome', 'cropped_line',
                                 'line_pred')
         model = make_line(input_shape, optimizer)
-        if mode is Modes.PREDICT and bucketed:
-            return FastLineComponent('Line', model, selector,
-                                     delist_result=True,
-                                     bucket=PARAGRAPH_BUCKET)
+        if bucketed:
+            if mode is Modes.PREDICT:
+                return FastLineComponent('Line', model, selector,
+                                         delist_result=True,
+                                         bucket=PARAGRAPH_BUCKET)
+            return FastLineTrainComponent('Line', model, selector,
+                                          delist_result=True)
         return ModelComponent('Line', model, selector, delist_result=True)
 
     if mode is Modes.TRAIN_LINE:
@@ -712,10 +854,13 @@ def make_model_system(input_shape, optimizer=None, progress_tracker=None,
         selector = CharSelector('cropped_2_monochrome', 'char_labels',
                                 'char_pred')
         model = make_char(input_shape, optimizer)
-        if mode is Modes.PREDICT and bucketed:
-            return FastCharComponent('Char', model, selector,
-                                     delist_result=True,
-                                     bucket=LINE_WIDTH_BUCKET)
+        if bucketed:
+            if mode is Modes.PREDICT:
+                return FastCharComponent('Char', model, selector,
+                                         delist_result=True,
+                                         bucket=LINE_WIDTH_BUCKET)
+            return FastCharTrainComponent('Char', model, selector,
+                                          delist_result=True)
         return ModelComponent('Char', model, selector, delist_result=True)
 
     if mode is Modes.TRAIN_CHAR:

@@ -27,6 +27,7 @@ def load_model_system(input_shape):
 
 
 def main(use_gpu=False, filename=None):
+    enable_persistent_cache()
     if use_gpu:
         DB.use_tpu()
         print('Using accelerator')

@@ -14,6 +14,7 @@ from PIL import Image
 import jax
 
 from ..nn.backend import DB
+from ..utils.cache import enable_persistent_cache
 from ..nn.optimizers import Adam
 from ..nn.progress_tracker import ProgressTracker
 from .constants import MODEL_WEIGHTS_FILE_PATH, TRAIN_PROGRESS_PATH
@@ -90,6 +91,7 @@ def train_model(use_gpu=False, show_progress_bar=False,
     `use_gpu` keeps the reference CLI surface: truthy selects the
     accelerator (TPU here), falsy pins host CPU.
     """
+    enable_persistent_cache()
     if use_gpu:
         DB.use_tpu()
         dev = jax.devices()[0]
