@@ -7,6 +7,7 @@ import random
 from PIL import Image
 
 from ..nn.backend import DB
+from ..utils.cache import enable_persistent_cache
 from .constants import (MODEL_WEIGHTS_FILE_PATH, PREDICTION_RESULT_PATH,
                         PREDICTION_SOURCE_PATH)
 from .datasets import encode_X, validation_dataset
