@@ -1,0 +1,101 @@
+"""End-to-end OCR inference benchmark on one TPU chip.
+
+Measures pages/sec through the full cascade (Monochrome -> Paragraph ->
+paragraph crop/deskew -> Line -> line crop/zoom -> Char -> text) over
+synthetic 720x480 pages, using the trained model_weights.json checkpoint
+when present (random weights otherwise — stages with no detections then
+short-circuit, which is reported in the metric name via stderr notes).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pages/sec", "vs_baseline": N/62.5}
+
+vs_baseline: BASELINE.json's north star is >=500 pages/sec on a v5e-8 (8
+chips); the per-chip share is 62.5 pages/sec.  The reference itself
+publishes no numbers (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(n_pages=32, warmup=2):
+    from univer_ocr_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    log('devices:', jax.devices())
+
+    from univer_ocr_tpu.models import Modes, make_model_system
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    from univer_ocr_tpu.models.train_data_generator import (DataGenerator,
+                                                            generate_picture)
+    from univer_ocr_tpu.models.datasets import encode_layers
+
+    # ---- generate the page corpus up front (not timed) ------------------
+    log(f'generating {n_pages + warmup} pages...')
+    gen = DataGenerator(generator_func=generate_picture,
+                        func_args=(720, 480, False))
+    gen.start()
+    pages = []
+    for _ in range(n_pages + warmup):
+        images = gen.get_data()
+        layers = encode_layers(
+            {k: v.convert('L') for k, v in images.items() if k == 'image'})
+        pages.append(layers['image'].astype(np.float32))
+    gen.stop()
+    page_shape = pages[0].shape
+    log('page shape:', page_shape)
+
+    # ---- build the PREDICT cascade --------------------------------------
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+        log(f'loaded checkpoint with {len(weights)} layer entries')
+    except OSError:
+        weights = None
+        log('WARNING: no model_weights.json — random weights')
+
+    system, models, _ = make_model_system(
+        page_shape, weights=weights, mode=Modes.PREDICT)
+
+    def run_page(page):
+        context = {'monochrome_X': page}
+        system.predict(context)
+        return context['text']
+
+    # ---- warmup (compiles) ----------------------------------------------
+    log('warmup...')
+    t0 = time.time()
+    for i in range(warmup):
+        run_page(pages[i])
+    log(f'warmup took {time.time() - t0:.1f}s')
+
+    # ---- timed run ------------------------------------------------------
+    t0 = time.time()
+    n_chars = 0
+    for i in range(warmup, warmup + n_pages):
+        text = run_page(pages[i])
+        n_chars += sum(len(line) for para in text for line in para)
+    elapsed = time.time() - t0
+
+    pages_per_sec = n_pages / elapsed
+    log(f'{n_pages} pages in {elapsed:.2f}s -> {pages_per_sec:.2f} pages/s; '
+        f'{n_chars} chars decoded')
+
+    print(json.dumps({
+        'metric': 'end_to_end_ocr_pages_per_sec_1chip',
+        'value': round(pages_per_sec, 3),
+        'unit': 'pages/sec',
+        'vs_baseline': round(pages_per_sec / 62.5, 4),
+    }))
+
+
+if __name__ == '__main__':
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    main(n)
