@@ -40,14 +40,27 @@ from ..primitives import BITS_COUNT, CHARS, CHARS_IDS, are_similar, decode_char
 from .parallelism import ERRORS_TO_STOP, MP
 
 
+from .. import native as _native
+
+#: Native CCL matches scipy.ndimage.label exactly (tests/test_native.py)
+#: and is used whenever the shared library is built; the native rotation
+#: kernel (bilinear vs scipy's spline) is opt-in for throughput runs.
+USE_NATIVE_ROTATE = False
+
+
 def label_layer(layer):
     """Threshold at mean -> connected components -> list of boolean masks
     (reference interpreter.py:16-21)."""
-    labels, cnt = ndimage.label(layer > np.mean(layer))
-    result = []
-    for l_id in range(cnt):
-        result.append(labels == l_id + 1)
-    return result
+    thresholded = np.asarray(layer) > np.mean(layer)
+    if _native.available():
+        flat = thresholded.reshape(
+            [d for d in thresholded.shape if d != 1] or [1, 1])
+        if flat.ndim == 2:
+            labels2d, cnt = _native.label(flat)
+            labels = labels2d.reshape(thresholded.shape)
+            return [labels == l_id + 1 for l_id in range(cnt)]
+    labels, cnt = ndimage.label(thresholded)
+    return [labels == l_id + 1 for l_id in range(cnt)]
 
 
 # ---------------------------------------------------------------------------
@@ -59,6 +72,11 @@ def rotate_array(array, angle=None, good_rotation=True):
     if angle is None:
         return array
     order = 1 if good_rotation else 0
+    if USE_NATIVE_ROTATE and _native.available() and array.ndim == 4 \
+            and array.shape[0] == 1:
+        rotated = _native.rotate(
+            np.ascontiguousarray(array[0], dtype=np.float32), angle, order)
+        return rotated[None].astype(array.dtype, copy=False)
     return ndimage.rotate(array, angle, axes=(2, 1), order=order, reshape=True)
 
 
