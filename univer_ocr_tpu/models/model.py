@@ -626,11 +626,19 @@ class FastCharTrainComponent(ModelComponent):
             self.selector.put(pred if self.delist_result else [pred])
 
     def test(self, context):
+        from ..nn.metrics import multiclass_accuracy
         self.selector(context)
         for X, y in self.selector.get():
             losses, pred = self._run(X, y, training=False)
             self._record_losses(context, {
                 'output_losses': losses['output_losses']})
+            # per-column char accuracy on labeled (non-background) columns
+            y_np = np.asarray(y)
+            labeled = y_np.sum(axis=1) > 0
+            if labeled.any():
+                acc = multiclass_accuracy(pred[labeled], y_np[labeled])
+                context.setdefault('metrics', {}).setdefault(
+                    self.name, []).append(acc)
             self.selector.put(pred if self.delist_result else [pred])
 
 

@@ -182,6 +182,7 @@ class Trainer:
 
             ts = dt.now()
             losses.reset()
+            metric_sums = {}
 
             shuffle(train_random_order)
             iters_cnt = len(self.train_dataset)
@@ -213,6 +214,8 @@ class Trainer:
                     self.validation_dataset.get, (validation_random_order[i],))
                 self.model_system.test(context)
                 losses.validation(context['losses'])
+                for mname, vals in context.get('metrics', {}).items():
+                    metric_sums.setdefault(mname, []).extend(vals)
 
                 if self.save_pictures_func is not None:
                     self.save_pictures_func(epoch, 'validation', i, context)
@@ -249,6 +252,9 @@ class Trainer:
                     'learning rate could be decreased to try avoiding NaN values')
 
             losses.print(left_margin=2)
+            for mname, vals in metric_sums.items():
+                print(f'  {mname} char accuracy: {np.mean(vals):.4f} '
+                      f'({len(vals)} lines)')
 
             better_weights = losses.get_better_weights(epoch)
             if any(better_weights):
