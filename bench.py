@@ -32,7 +32,6 @@ def main(n_pages=32, warmup=2):
     import jax
     log('devices:', jax.devices())
 
-    from univer_ocr_tpu.models import Modes, make_model_system
     from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
     from univer_ocr_tpu.models.train_data_generator import (DataGenerator,
                                                             generate_picture)
@@ -53,7 +52,7 @@ def main(n_pages=32, warmup=2):
     page_shape = pages[0].shape
     log('page shape:', page_shape)
 
-    # ---- build the PREDICT cascade --------------------------------------
+    # ---- build the inference engine -------------------------------------
     try:
         weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
         log(f'loaded checkpoint with {len(weights)} layer entries')
@@ -61,28 +60,21 @@ def main(n_pages=32, warmup=2):
         weights = None
         log('WARNING: no model_weights.json — random weights')
 
-    system, models, _ = make_model_system(
-        page_shape, weights=weights, mode=Modes.PREDICT)
-
-    def run_page(page):
-        context = {'monochrome_X': page}
-        system.predict(context)
-        return context['text']
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    pipeline = OCRPipeline(page_shape, weights=weights, chunk=8, workers=8)
 
     # ---- warmup (compiles) ----------------------------------------------
     log('warmup...')
     t0 = time.time()
-    for i in range(warmup):
-        run_page(pages[i])
+    pipeline.ocr_pages(pages[:warmup])
     log(f'warmup took {time.time() - t0:.1f}s')
 
     # ---- timed run ------------------------------------------------------
     t0 = time.time()
-    n_chars = 0
-    for i in range(warmup, warmup + n_pages):
-        text = run_page(pages[i])
-        n_chars += sum(len(line) for para in text for line in para)
+    texts = pipeline.ocr_pages(pages[warmup:warmup + n_pages])
     elapsed = time.time() - t0
+    n_chars = sum(len(line) for text in texts
+                  for para in text for line in para)
 
     pages_per_sec = n_pages / elapsed
     log(f'{n_pages} pages in {elapsed:.2f}s -> {pages_per_sec:.2f} pages/s; '

@@ -1,0 +1,48 @@
+"""Batched OCRPipeline must produce the same text as the per-page
+ModelSystem PREDICT path on the same weights."""
+
+import random
+
+import numpy as np
+import pytest
+
+from univer_ocr_tpu.models import Modes, make_model_system
+from univer_ocr_tpu.models.datasets import GeneratorDataset
+from univer_ocr_tpu.models.pipeline import OCRPipeline
+
+PAGE_SHAPE = (1, 496, 736, 1)
+
+
+@pytest.fixture(scope='module')
+def pages():
+    random.seed(11)
+    np.random.seed(11)
+    dataset = GeneratorDataset(2, 720, 480)
+    return [dataset.get(i, layer_tags=['image'])['image'].astype(np.float32)
+            for i in range(2)]
+
+
+def test_pipeline_matches_model_system(pages):
+    # shared random weights: build the system first, reuse its weights
+    system, models, _ = make_model_system(PAGE_SHAPE, mode=Modes.PREDICT)
+    weights = {name: w for m in models.values()
+               for name, w in m.get_weights().items()}
+
+    pipeline = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2)
+
+    expected = []
+    for page in pages:
+        context = {'monochrome_X': page}
+        system.predict(context)
+        expected.append(context['text'])
+
+    got = pipeline.ocr_pages(pages)
+    assert got == expected
+
+
+def test_pipeline_handles_empty_detections():
+    pipeline = OCRPipeline(PAGE_SHAPE, weights=None, chunk=2, workers=2)
+    blank = np.ones(PAGE_SHAPE, np.float32)
+    results = pipeline.ocr_pages([blank])
+    assert len(results) == 1
+    assert isinstance(results[0], list)
