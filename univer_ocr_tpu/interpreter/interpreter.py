@@ -595,6 +595,28 @@ class LabelChar(BaseWorkersPool):
 # Prediction -> text (reference :574-614)
 # ---------------------------------------------------------------------------
 
+def pred_ids_to_text(ids, valid, collapse_runs=False):
+    """Decode from per-column argmax ids + validity flags (the device-side
+    argmax form of pred_to_text_line; identical semantics)."""
+    result = ''
+    prev_char = None
+    for col in range(len(ids)):
+        if not valid[col]:
+            continue
+        char_id = int(ids[col])
+        if char_id == 0:
+            prev_char = None
+            continue
+        cur_char = CHARS[char_id]
+        if are_similar(cur_char, prev_char):
+            continue
+        if collapse_runs and cur_char == prev_char:
+            continue
+        result += cur_char
+        prev_char = cur_char
+    return result
+
+
 def pred_to_text_line(prediction, collapse_runs=False):
     """(W, len(CHARS)) scores -> decoded string.
 

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        label_layer, pred_to_text_line,
-                                       rearrange_lines, rotate_array)
+                                       pred_ids_to_text, rearrange_lines,
+                                       rotate_array)
 from scipy import ndimage
 
 from .bucketing import round_up
@@ -95,20 +96,45 @@ class OCRPipeline:
         self.front_params = {**mono.params, **para.params}
         para_forward = para.forward_fn
 
-        def front(params, batch):
-            m = monochrome_forward(params, batch)
+        def front(params, batch_u8):
+            # pages upload as uint8 (4x less PCIe/tunnel traffic); exact:
+            # u8/255 reproduces the host encode_layers normalization.
+            x = batch_u8.astype(jnp.float32) / 255.0
+            m = monochrome_forward(params, x)
             p = para_forward(params, [m])[0]
-            return m, p
+            # threshold the paragraph mask on device (mean per page, the
+            # label_layer rule) and ship one byte per pixel instead of four
+            mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
+            p_mask = (p > mean).astype(jnp.uint8)
+            return m, p_mask
 
         self._front = jax.jit(front)
         self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line'))
-        self._char_fn = jax.jit(char_forward_masked)
+
+        def char_ids(params, x, w_valid):
+            # argmax on device: ship (N, W) ids + validity instead of the
+            # (N, W, 162) float logits (650x less traffic per line)
+            logits = char_forward_masked(params, x, w_valid)
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            valid = jnp.max(logits, axis=-1) != 0.0
+            return ids, valid
+
+        self._char_fn = jax.jit(char_ids)
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     # ------------------------------------------------------------------
-    def _crop_page(self, mono_pred, para_pred):
-        """Host: label paragraphs, crop+deskew the monochrome prediction."""
-        paragraphs = label_layer(para_pred)
+    def _crop_page(self, mono_pred, para_mask):
+        """Host: label the (pre-thresholded) paragraph mask, crop+deskew
+        the monochrome prediction."""
+        from .. import native as _native
+        if _native.available():
+            labels2d, cnt = _native.label(para_mask[0, :, :, 0] > 0)
+            paragraphs = [
+                (labels2d == l_id + 1)[None, :, :, None]
+                for l_id in range(cnt)]
+        else:
+            labels, cnt = ndimage.label(para_mask > 0)
+            paragraphs = [labels == l_id + 1 for l_id in range(cnt)]
         crops = []
         for mask in paragraphs:
             res = crop_and_rotate_single_paragraph(mask, [mono_pred])
@@ -157,10 +183,13 @@ class OCRPipeline:
                 line = lines[i]
                 batch[bi, :, :line.shape[2], :] = line[0]
                 ws[bi] = line.shape[2]
-            out = np.asarray(self._char_fn(params, jnp.asarray(batch),
-                                           jnp.asarray(ws)))
+            ids, valid = self._char_fn(params, jnp.asarray(batch),
+                                       jnp.asarray(ws))
+            ids = np.asarray(ids)
+            valid = np.asarray(valid)
             for bi, i in enumerate(idxs):
-                preds[i] = out[bi, :lines[i].shape[2], :]
+                w = lines[i].shape[2]
+                preds[i] = (ids[bi, :w], valid[bi, :w])
         return preds
 
     # ------------------------------------------------------------------
@@ -174,7 +203,10 @@ class OCRPipeline:
 
     def _ocr_chunk(self, pages):
         n = len(pages)
-        batch = np.concatenate([np.asarray(p, np.float32) for p in pages])
+        batch = np.concatenate([
+            np.asarray(np.asarray(p) * 255.0, np.uint8)
+            if np.asarray(p).dtype != np.uint8 else np.asarray(p)
+            for p in pages])
         mono, para = self._front(self.front_params, jnp.asarray(batch))
         mono = np.asarray(mono)
         para = np.asarray(para)
@@ -203,8 +235,8 @@ class OCRPipeline:
                        if flat_lines else [])
 
         # host: decode text, reassemble nesting
-        texts = [pred_to_text_line(lg, self.collapse_runs)
-                 for lg in flat_logits]
+        texts = [pred_ids_to_text(ids, valid, self.collapse_runs)
+                 for ids, valid in flat_logits]
 
         results = []
         li = 0
