@@ -92,3 +92,30 @@ def test_train_ws_rebroadcast(server):
     assert msg['data']['data']['current'] == 1
     browser.close()
     trainer.close()
+
+
+def test_ocr_endpoint_rejects_garbage(server):
+    import urllib.request
+    req = urllib.request.Request(server + '/ocr', data=b'not an image',
+                                 method='POST')
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert b'error' in e.read()
+
+
+def test_ocr_endpoint_accepts_image(server):
+    import io
+    import urllib.request
+    from PIL import Image
+    img = Image.new('L', (160, 96), 255)
+    buf = io.BytesIO()
+    img.save(buf, 'PNG')
+    req = urllib.request.Request(server + '/ocr', data=buf.getvalue(),
+                                 method='POST')
+    with urllib.request.urlopen(req, timeout=300) as r:
+        data = json.loads(r.read())
+    assert 'text' in data
+    assert isinstance(data['text'], list)

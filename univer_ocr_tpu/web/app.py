@@ -101,6 +101,50 @@ def create_app():
         return render_template('interpret_data.html', rows=rows)
 
     # ------------------------------------------------------------------
+    # Online OCR endpoint (the BASELINE "web_app online OCR endpoint"
+    # serving surface; the reference only had CLI predict)
+    # ------------------------------------------------------------------
+    def get_pipeline(page_shape):
+        """Lazily build one OCRPipeline per page shape, with the current
+        checkpoint."""
+        pipelines = app.state.setdefault('ocr_pipelines', {})
+        if page_shape not in pipelines:
+            from ..models.constants import MODEL_WEIGHTS_FILE_PATH
+            from ..models.pipeline import OCRPipeline
+            try:
+                weights = json.loads(
+                    (REPO_ROOT / MODEL_WEIGHTS_FILE_PATH).read_text())
+            except OSError:
+                weights = None
+            pipelines[page_shape] = OCRPipeline(page_shape, weights=weights,
+                                                chunk=4, workers=4)
+        return pipelines[page_shape]
+
+    @app.route('/ocr')
+    def ocr_form(query=None):
+        return render_template('ocr.html')
+
+    @app.route('/ocr', methods=('POST',))
+    def ocr(body=None, query=None):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from ..models.datasets import encode_X
+        from ..models.model import make_divisible_by
+        try:
+            image = Image.open(io.BytesIO(body)).convert('L')
+        except Exception:
+            return (400, 'application/json',
+                    json.dumps({'error': 'body must be an image'}))
+        X = make_divisible_by(encode_X(image), 16, 16).astype('float32')
+        pipeline = get_pipeline(tuple(X.shape))
+        text = pipeline.ocr_pages([X])[0]
+        return (200, 'application/json',
+                json.dumps({'text': text}, ensure_ascii=False))
+
+    # ------------------------------------------------------------------
     # WS /train-ws (reference views/train_ws.py:13-61)
     # ------------------------------------------------------------------
     def pipe_output(proc, namespace):

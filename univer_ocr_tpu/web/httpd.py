@@ -45,13 +45,13 @@ class App:
         self.hub = Hub()
         self.state = {}
 
-    def route(self, pattern):
+    def route(self, pattern, methods=('GET',)):
         param_names = re.findall(r'<(\w+)>', pattern)
         regex = re.compile(
             '^' + re.sub(r'<\w+>', r'([^/]+)', pattern) + '$')
 
         def decorator(func):
-            self._routes.append((regex, param_names, func))
+            self._routes.append((regex, param_names, func, tuple(methods)))
             return func
         return decorator
 
@@ -61,11 +61,13 @@ class App:
             return func
         return decorator
 
-    def dispatch(self, path, query):
-        for regex, names, func in self._routes:
+    def dispatch(self, path, query, method='GET', body=None):
+        for regex, names, func, methods in self._routes:
             m = regex.match(path)
-            if m:
+            if m and method in methods:
                 kwargs = dict(zip(names, m.groups()))
+                if method != 'GET':
+                    kwargs['body'] = body
                 return func(query=query, **kwargs)
         return None
 
@@ -105,8 +107,18 @@ class App:
                     self._serve_static(path[len('/static/'):])
                     return
 
+                self._finish(path, query, 'GET', None)
+
+            def do_POST(self):
+                parsed = urlparse(self.path)
+                query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                length = int(self.headers.get('Content-Length', 0))
+                body = self.rfile.read(length) if length else b''
+                self._finish(parsed.path, query, 'POST', body)
+
+            def _finish(self, path, query, method, body):
                 try:
-                    result = app.dispatch(path, query)
+                    result = app.dispatch(path, query, method, body)
                 except Exception:
                     self._send(500, 'text/plain', traceback.format_exc())
                     return
@@ -114,10 +126,10 @@ class App:
                     self._send(404, 'text/plain', 'Not Found')
                     return
                 if isinstance(result, tuple):
-                    status, ctype, body = result
+                    status, ctype, rbody = result
                 else:
-                    status, ctype, body = 200, MIME['.html'], result
-                self._send(status, ctype, body)
+                    status, ctype, rbody = 200, MIME['.html'], result
+                self._send(status, ctype, rbody)
 
             def _serve_static(self, rel):
                 target = (STATIC_DIR / rel).resolve()
