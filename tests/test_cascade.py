@@ -212,3 +212,21 @@ def test_make_divisible_by():
     # reference always adds at least one unit
     out = make_divisible_by(np.ones((1, 32, 32, 1)), 16, 16)
     assert out.shape == (1, 48, 48, 1)
+
+
+def test_train_all_mode_system(page_layers):
+    """TRAIN_ALL: all four models + crops driven by *predicted* masks
+    (empty detections from untrained models must flow through)."""
+    system, models, names = make_model_system(
+        PAGE_SHAPE, Adam(lr=1e-3), mode=Modes.TRAIN_ALL)
+    assert names == ['Monochrome', 'Paragraph', 'ParagraphCrop', 'Line',
+                     'LineCrop', 'CharLabel', 'Char']
+    context = make_context_maker(Modes.TRAIN_ALL)(
+        lambda *a, layer_tags=None, **k: {
+            t: page_layers[t] for t in layer_tags})
+    system.train(context)
+    assert 'Monochrome' in context['losses']
+    assert 'Paragraph' in context['losses']
+    # Line/Char only run if the Paragraph model detected something;
+    # either way the pipeline completes without error
+    assert isinstance(context.get('line_pred', []), list)
