@@ -104,23 +104,33 @@ class BaseDataset:
 
 
 class Dataset(BaseDataset):
-    """Reads `{idx}_{layer_name}.png` files (reference :108-124)."""
+    """Reads `{idx}_{layer_name}.png` files (reference :108-124).
 
-    def __init__(self, size, dirpath):
+    Decoded images are cached in memory: the trainer touches every sample
+    every epoch, and PNG decode dominated the reference's per-step host
+    time (the corpus is ~100 pages — it fits)."""
+
+    def __init__(self, size, dirpath, cache=True):
         super().__init__(size)
         self.dirpath = dirpath
+        self._cache = {} if cache else None
 
     def get_images(self, idx, layer_tags=None):
         layer_names = get_layer_names(layer_tags)
-        layer_paths = {
-            layer_name: self.dirpath / f'{idx}_{layer_name}.png'
-            for layer_name in LAYER_NAMES_PLAIN
-            if layer_tags is None or layer_name in layer_names
-        }
-        return {
-            layer_name: Image.open(layer_path).convert('L')
-            for layer_name, layer_path in layer_paths.items()
-        }
+        wanted = [name for name in LAYER_NAMES_PLAIN
+                  if layer_tags is None or name in layer_names]
+        images = {}
+        for layer_name in wanted:
+            key = (idx, layer_name)
+            if self._cache is not None and key in self._cache:
+                images[layer_name] = self._cache[key]
+                continue
+            img = Image.open(
+                self.dirpath / f'{idx}_{layer_name}.png').convert('L')
+            if self._cache is not None:
+                self._cache[key] = img
+            images[layer_name] = img
+        return images
 
 
 class GeneratorDataset(BaseDataset):
