@@ -63,9 +63,10 @@ def main(n_pages=32, warmup=2):
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     pipeline = OCRPipeline(page_shape, weights=weights, chunk=8, workers=8)
 
-    # ---- warmup (compiles) ----------------------------------------------
+    # ---- warmup (compiles the fixed program menu; persistently cached) ---
     log('warmup...')
     t0 = time.time()
+    pipeline.warmup()
     pipeline.ocr_pages(pages[:warmup])
     log(f'warmup took {time.time() - t0:.1f}s')
 

@@ -28,7 +28,8 @@ def test_pipeline_matches_model_system(pages):
     weights = {name: w for m in models.values()
                for name, w in m.get_weights().items()}
 
-    pipeline = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2)
+    pipeline = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2,
+                           workers=2, quantized_transfers=False)
 
     expected = []
     for page in pages:

@@ -93,6 +93,29 @@ def object_height_after_rotation(coords, angles_deg):
     return proj.max(axis=0) - proj.min(axis=0)
 
 
+def _extremal_coords(mask2d):
+    """Per-row leftmost/rightmost foreground pixels, as (N, 2) float64.
+
+    The projection `y·cosθ − x·sinθ` attains its extrema on the convex
+    hull; any pixel that is not its row's min-x or max-x lies on the
+    segment between them, so it can never be a hull vertex.  This reduces
+    a filled blob's coordinate cloud from O(H·W) to <= 2H points and makes
+    the angle sweep allocation-trivial.
+    """
+    has = mask2d.any(axis=1)
+    rows = np.nonzero(has)[0]
+    if len(rows) == 0:
+        return np.empty((0, 2))
+    sub = mask2d[rows]
+    xmin = sub.argmax(axis=1)
+    xmax = mask2d.shape[1] - 1 - sub[:, ::-1].argmax(axis=1)
+    coords = np.concatenate([
+        np.stack([rows, xmin], axis=1),
+        np.stack([rows, xmax], axis=1),
+    ])
+    return coords.astype(np.float64)
+
+
 def find_rotation_angle(mask, eps=1.0):
     """Best deskew angle in [0, 180] minimizing rotated bbox height.
 
@@ -101,11 +124,12 @@ def find_rotation_angle(mask, eps=1.0):
     search (interpreter.py:320-338), with the same boundary rule: angles
     within eps of 0/180 mean "already level", returned as None.
     """
-    coords = np.argwhere(mask[0, :, :, 0] if mask.ndim == 4 else mask)
+    coords = _extremal_coords(
+        np.asarray(mask[0, :, :, 0] if mask.ndim == 4 else mask) > 0)
     if len(coords) == 0:
         return None
     angles = np.arange(0.0, 180.0 + eps, eps)
-    heights = object_height_after_rotation(coords.astype(np.float64), angles)
+    heights = object_height_after_rotation(coords, angles)
     angle = float(angles[np.argmin(heights)])
     if not eps <= angle <= 180.0 - eps:
         return None

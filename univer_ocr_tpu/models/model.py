@@ -63,7 +63,8 @@ def make_divisible_by(arr, y, x):
     to_add_y = y - h % y
     to_add_x = x - w % x
     py, px = to_add_y // 2, to_add_x // 2
-    new_arr = np.zeros((b, h + to_add_y, w + to_add_x, c))
+    dtype = arr.dtype if np.issubdtype(arr.dtype, np.floating) else np.float64
+    new_arr = np.zeros((b, h + to_add_y, w + to_add_x, c), dtype=dtype)
     new_arr[:, py:py + h, px:px + w, :] = arr
     return new_arr
 

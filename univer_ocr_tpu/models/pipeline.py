@@ -43,11 +43,14 @@ from .fastpath import monochrome_forward
 
 
 def crop_lines_of_paragraph(line_pred, mono_crop, zoomed_height,
-                            minimal_width):
+                            minimal_width, thresholded_input=False):
     """Line bands of one paragraph -> list of zoomed line crops of the
     monochrome image (the logic of CropRotateAndZoomLines._func,
-    interpreter.py:436-523, as a pure function)."""
+    interpreter.py:436-523, as a pure function).  `thresholded_input` marks
+    line_pred as already-boolean band masks (device-side thresholding)."""
     def thresholded(arr):
+        if thresholded_input:
+            return arr > 0
         return arr > 0.5 * (np.mean(arr) + np.max(arr))
 
     top = thresholded(line_pred[:, :, :, 0:1])
@@ -77,13 +80,27 @@ def crop_lines_of_paragraph(line_pred, mono_crop, zoomed_height,
 
 
 class OCRPipeline:
+    #: Char-stage width menu: every line pads to the next entry, so the
+    #: whole run compiles at most len(menu) char programs.
+    CHAR_WIDTH_MENU = (256, 512, 1024, 2048)
+    #: Fixed device batch for Line/Char launches (pow2 padding per launch
+    #: would multiply the compile menu by the number of batch sizes).
+    DEVICE_BATCH = 8
+
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
-                 line_bucket=64, char_bucket=64, collapse_runs=False):
+                 line_bucket=64, char_bucket=64, collapse_runs=False,
+                 quantized_transfers=True):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
         self.char_bucket = char_bucket
         self.collapse_runs = collapse_runs
+        self.quantized_transfers = quantized_transfers
+        # every paragraph crop pads to one canonical shape (device compute
+        # at these model sizes is microseconds; program count is what
+        # costs — a remote compile here is minutes)
+        self.line_shape = (round_up(page_shape[1] + 16, 128),
+                           round_up(page_shape[2] + 16, 128))
 
         mono = make_monochrome(page_shape)
         para = make_paragraph(page_shape)
@@ -95,9 +112,10 @@ class OCRPipeline:
 
         self.front_params = {**mono.params, **para.params}
         para_forward = para.forward_fn
+        quantized = quantized_transfers
 
         def front(params, batch_u8):
-            # pages upload as uint8 (4x less PCIe/tunnel traffic); exact:
+            # pages upload as uint8 (4x less tunnel traffic); exact:
             # u8/255 reproduces the host encode_layers normalization.
             x = batch_u8.astype(jnp.float32) / 255.0
             m = monochrome_forward(params, x)
@@ -106,14 +124,46 @@ class OCRPipeline:
             # label_layer rule) and ship one byte per pixel instead of four
             mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
             p_mask = (p > mean).astype(jnp.uint8)
+            if quantized:
+                p_mask = jnp.packbits(p_mask, axis=2)
+                # the monochrome map ships quantized to uint8: D2H is the
+                # scarce resource here, and 1/255 quantization of a sigmoid
+                # map is far below the detection thresholds it feeds
+                m = jnp.round(m * 255.0).astype(jnp.uint8)
             return m, p_mask
 
         self._front = jax.jit(front)
         self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line'))
 
+        def line_masks(params, x_u8, h_valid, w_valid):
+            x = x_u8.astype(jnp.float32) / 255.0
+            # threshold the band maps on device over each sample's valid
+            # region (the reference rule: arr > 0.5*(mean+max),
+            # interpreter.py:437-438) and bit-pack: the f32 band maps are
+            # the biggest D2H payload of the cascade (24 MB/launch -> 0.75)
+            pred = line_forward_masked(params, x, h_valid, w_valid,
+                                       prefix='Line')
+            import jax.lax as lax
+            hv = h_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            wv = w_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
+            rows = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+            cols = lax.broadcasted_iota(jnp.int32, pred.shape, 2)
+            valid = ((rows < h_valid.reshape(-1, 1, 1, 1))
+                     & (cols < w_valid.reshape(-1, 1, 1, 1)))
+            area = hv * wv
+            mean = (jnp.sum(pred, axis=(1, 2), keepdims=True)
+                    / area)                      # pred is 0 outside valid
+            mx = jnp.max(pred, axis=(1, 2), keepdims=True)
+            mask = (pred > 0.5 * (mean + mx)) & valid
+            return jnp.packbits(mask.astype(jnp.uint8), axis=2)
+
+        self._line_masks_fn = jax.jit(line_masks)
+
         def char_ids(params, x, w_valid):
             # argmax on device: ship (N, W) ids + validity instead of the
             # (N, W, 162) float logits (650x less traffic per line)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
             logits = char_forward_masked(params, x, w_valid)
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             valid = jnp.max(logits, axis=-1) != 0.0
@@ -142,74 +192,120 @@ class OCRPipeline:
         return crops
 
     def _run_line_batched(self, crops):
-        """All paragraph crops (flat list) -> line predictions, grouped by
-        shape bucket, one program launch per bucket."""
+        """All paragraph crops (flat list) -> line predictions (exact
+        path) or pre-thresholded band masks (quantized path); ONE canonical
+        program shape, fixed device batch."""
         preds = [None] * len(crops)
-        groups = {}
-        for i, c in enumerate(crops):
-            hb = round_up(c.shape[1], self.line_bucket)
-            wb = round_up(c.shape[2], self.line_bucket)
-            groups.setdefault((hb, wb), []).append(i)
+        hb, wb = self.line_shape
         params = self.line_model.params
-        for (hb, wb), idxs in groups.items():
-            n = 1 << (len(idxs) - 1).bit_length()
-            batch = np.zeros((n, hb, wb, 1), np.float32)
-            hs = np.full((n,), 4, np.int32)
-            ws = np.full((n,), 4, np.int32)
-            for bi, i in enumerate(idxs):
-                c = crops[i]
-                batch[bi, :c.shape[1], :c.shape[2], :] = c[0]
-                hs[bi], ws[bi] = c.shape[1], c.shape[2]
-            out = np.asarray(self._line_fn(params, jnp.asarray(batch),
-                                           jnp.asarray(hs), jnp.asarray(ws)))
+        B = self.DEVICE_BATCH
+        for start in range(0, len(crops), B):
+            idxs = list(range(start, min(start + B, len(crops))))
+            if self.quantized_transfers:
+                # crops are (quantized) monochrome values — upload as u8
+                batch = np.zeros((B, hb, wb, 1), np.uint8)
+                hs = np.full((B,), 4, np.int32)
+                ws = np.full((B,), 4, np.int32)
+                for bi, i in enumerate(idxs):
+                    c = crops[i]
+                    batch[bi, :c.shape[1], :c.shape[2], :] = np.round(
+                        c[0] * 255.0).astype(np.uint8)
+                    hs[bi], ws[bi] = c.shape[1], c.shape[2]
+                packed = np.asarray(self._line_masks_fn(
+                    params, jnp.asarray(batch),
+                    jnp.asarray(hs), jnp.asarray(ws)))
+                out = np.unpackbits(packed, axis=2)
+            else:
+                batch = np.zeros((B, hb, wb, 1), np.float32)
+                hs = np.full((B,), 4, np.int32)
+                ws = np.full((B,), 4, np.int32)
+                for bi, i in enumerate(idxs):
+                    c = crops[i]
+                    batch[bi, :c.shape[1], :c.shape[2], :] = c[0]
+                    hs[bi], ws[bi] = c.shape[1], c.shape[2]
+                out = np.asarray(self._line_fn(
+                    params, jnp.asarray(batch),
+                    jnp.asarray(hs), jnp.asarray(ws)))
             for bi, i in enumerate(idxs):
                 h, w = crops[i].shape[1], crops[i].shape[2]
                 preds[i] = out[bi:bi + 1, :h, :w, :]
         return preds
 
+    def _menu_width(self, w):
+        for wb in self.CHAR_WIDTH_MENU:
+            if w <= wb:
+                return wb
+        return round_up(w, self.CHAR_WIDTH_MENU[-1])
+
     def _run_char_batched(self, lines):
-        """All line crops (flat list) -> per-line (W, n_chars) logits."""
+        """All line crops (flat list) -> per-line argmax ids; widths pad
+        to the fixed menu, fixed device batch."""
         preds = [None] * len(lines)
         groups = {}
         for i, line in enumerate(lines):
-            wb = round_up(line.shape[2], self.char_bucket)
-            groups.setdefault(wb, []).append(i)
+            groups.setdefault(self._menu_width(line.shape[2]), []).append(i)
         params = self.char_model.params
+        B = self.DEVICE_BATCH
         for wb, idxs in groups.items():
-            n = 1 << (len(idxs) - 1).bit_length()
-            batch = np.zeros((n, CHAR_INPUT_HEIGHT, wb, 1), np.float32)
-            ws = np.full((n,), 4, np.int32)
-            for bi, i in enumerate(idxs):
-                line = lines[i]
-                batch[bi, :, :line.shape[2], :] = line[0]
-                ws[bi] = line.shape[2]
-            ids, valid = self._char_fn(params, jnp.asarray(batch),
-                                       jnp.asarray(ws))
-            ids = np.asarray(ids)
-            valid = np.asarray(valid)
-            for bi, i in enumerate(idxs):
-                w = lines[i].shape[2]
-                preds[i] = (ids[bi, :w], valid[bi, :w])
+            for start in range(0, len(idxs), B):
+                chunk_idx = idxs[start:start + B]
+                dtype = (np.uint8 if self.quantized_transfers
+                         else np.float32)
+                batch = np.zeros((B, CHAR_INPUT_HEIGHT, wb, 1), dtype)
+                ws = np.full((B,), 4, np.int32)
+                for bi, i in enumerate(chunk_idx):
+                    line = lines[i]
+                    data = line[0]
+                    if self.quantized_transfers:
+                        data = np.round(data * 255.0).astype(np.uint8)
+                    batch[bi, :, :line.shape[2], :] = data
+                    ws[bi] = line.shape[2]
+                ids, valid = self._char_fn(params, jnp.asarray(batch),
+                                           jnp.asarray(ws))
+                ids = np.asarray(ids)
+                valid = np.asarray(valid)
+                for bi, i in enumerate(chunk_idx):
+                    w = lines[i].shape[2]
+                    preds[i] = (ids[bi, :w], valid[bi, :w])
         return preds
+
+    def warmup(self):
+        """Compile the whole program menu with dummy data (cached
+        persistently; later runs start hot)."""
+        self.ocr_pages([np.zeros(self.page_shape, np.float32)])
+        self._run_line_batched([np.zeros((1, 64, 64, 1), np.float32)])
+        for w in self.CHAR_WIDTH_MENU:
+            self._run_char_batched(
+                [np.zeros((1, CHAR_INPUT_HEIGHT, w, 1), np.float32)])
 
     # ------------------------------------------------------------------
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
         Returns per page: [paragraph][line] -> decoded text."""
-        results = []
+        # Dispatch the front-end for every chunk up front: XLA execution is
+        # async, so chunk i+1's device work overlaps chunk i's host CV.
+        fronts = []
         for start in range(0, len(pages), self.chunk):
-            results.extend(self._ocr_chunk(pages[start:start + self.chunk]))
+            chunk = pages[start:start + self.chunk]
+            batch = np.concatenate([
+                np.asarray(np.asarray(p) * 255.0, np.uint8)
+                if np.asarray(p).dtype != np.uint8 else np.asarray(p)
+                for p in chunk])
+            fronts.append(
+                (chunk, self._front(self.front_params, jnp.asarray(batch))))
+
+        results = []
+        for chunk, (mono_dev, para_dev) in fronts:
+            results.extend(self._ocr_chunk(chunk, mono_dev, para_dev))
         return results
 
-    def _ocr_chunk(self, pages):
+    def _ocr_chunk(self, pages, mono_dev, para_dev):
         n = len(pages)
-        batch = np.concatenate([
-            np.asarray(np.asarray(p) * 255.0, np.uint8)
-            if np.asarray(p).dtype != np.uint8 else np.asarray(p)
-            for p in pages])
-        mono, para = self._front(self.front_params, jnp.asarray(batch))
-        mono = np.asarray(mono)
-        para = np.asarray(para)
+        mono = np.asarray(mono_dev)
+        para = np.asarray(para_dev)
+        if self.quantized_transfers:
+            mono = mono.astype(np.float32) / 255.0
+            para = np.unpackbits(para, axis=2)
 
         # host: paragraph crops per page (threaded)
         crops_per_page = list(self._pool.map(
@@ -224,7 +320,8 @@ class OCRPipeline:
         def crop_lines(k):
             return crop_lines_of_paragraph(
                 flat_line_preds[k], flat_crops[k],
-                CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
+                CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH,
+                thresholded_input=self.quantized_transfers)
 
         lines_per_crop = list(self._pool.map(crop_lines,
                                              range(len(flat_crops))))
