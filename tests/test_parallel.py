@@ -107,3 +107,25 @@ def test_dryrun_multichip_contract():
     assert out[0].shape == (1, 256, 256, 1)
     assert out[1].shape == (1, 256, 256, 1)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_front_matches_single_device():
+    """OCRPipeline with a mesh shards the page batch over 'data' and must
+    produce the same front-end outputs as single-device."""
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    rs = np.random.RandomState(7)
+    pages = [rs.rand(1, 64, 64, 1).astype(np.float32) for _ in range(8)]
+
+    pipe_a = OCRPipeline((1, 64, 64, 1), weights=None, chunk=8, workers=2)
+    weights = {**{n: {p: np.asarray(v).tolist()
+                      for p, v in lp.items()}
+                  for n, lp in pipe_a.front_params.items()}}
+    mesh = make_mesh(4, model_parallel=1)
+    pipe_b = OCRPipeline((1, 64, 64, 1), weights=weights, chunk=8,
+                         workers=2, mesh=mesh)
+
+    batch = np.concatenate([(p * 255).astype(np.uint8) for p in pages])
+    m_a, p_a = pipe_a._front(pipe_a.front_params, jnp.asarray(batch))
+    m_b, p_b = pipe_b._front(pipe_b.front_params, batch)
+    np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+    np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))

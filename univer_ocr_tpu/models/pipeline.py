@@ -89,7 +89,7 @@ class OCRPipeline:
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
-                 quantized_transfers=True):
+                 quantized_transfers=True, mesh=None):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -132,7 +132,16 @@ class OCRPipeline:
                 m = jnp.round(m * 255.0).astype(jnp.uint8)
             return m, p_mask
 
-        self._front = jax.jit(front)
+        if mesh is not None:
+            # multi-chip serving: page batch sharded over the 'data' axis,
+            # params replicated (parallel/serving.py)
+            from ..parallel.serving import (replicate_params,
+                                            shard_fn_over_batch)
+            self.front_params = replicate_params(self.front_params, mesh)
+            self._front = shard_fn_over_batch(front, mesh, n_batch_args=1)
+        else:
+            self._front = jax.jit(front)
+        self.mesh = mesh
         self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line'))
 
         def line_masks(params, x_u8, h_valid, w_valid):

@@ -1,0 +1,41 @@
+"""Data-parallel inference: shard page batches over the device mesh.
+
+The OCR cascade's device stages are batch-parallel, so serving scales by
+sharding the page batch over the 'data' mesh axis with replicated params —
+on a v5e-8 every chunk's front-end (and Line/Char launches) runs 8 pages
+wide with XLA inserting no collectives at all (embarrassingly parallel;
+ICI is only used if a later stage ever needs cross-page reduction).
+
+`make_sharded_front(front_fn, params, mesh)` wraps any of the pipeline's
+jitted stage functions with batch-dim sharding; OCRPipeline accepts
+`mesh=` and routes its front-end through it.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def shard_fn_over_batch(fn, mesh, n_batch_args=1):
+    """jit `fn(params, *batch_args)` with batch args sharded over 'data'
+    and params replicated."""
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+
+    jit_fn = jax.jit(
+        fn,
+        in_shardings=(replicated,) + (data,) * n_batch_args,
+        out_shardings=data,
+    )
+
+    def wrapped(params, *batch_args):
+        placed = [jax.device_put(jnp.asarray(a), data) for a in batch_args]
+        return jit_fn(params, *placed)
+
+    return wrapped
+
+
+def replicate_params(params, mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda p: jax.device_put(jnp.asarray(p), sharding), params)
