@@ -230,3 +230,24 @@ def test_train_all_mode_system(page_layers):
     # Line/Char only run if the Paragraph model detected something;
     # either way the pipeline completes without error
     assert isinstance(context.get('line_pred', []), list)
+
+
+def test_crop_and_rotate_benchmark_chain(page_layers, tmp_path, monkeypatch):
+    """The interpreter-chain benchmark harness runs end to end
+    (reference crop_and_rotate_benchmark.py as integration test)."""
+    from univer_ocr_tpu.models import crop_and_rotate_benchmark as crb
+
+    class OnePage:
+        def __len__(self):
+            return 1
+
+        def get(self, idx, layer_tags=None):
+            return {t: page_layers[t] for t in layer_tags}
+
+    monkeypatch.setattr(crb, 'OUTPUT_PATH', tmp_path)
+    timers = crb.run_chain(OnePage(), workers_count=2, save_text=True)
+    assert set(timers) == {'ParagraphCrop', 'LineCrop', 'CharLabel',
+                           'PredToText'}
+    decoded = (tmp_path / 'decoded.txt').read_text()
+    assert '=== page 0 ===' in decoded
+    assert '[0][0]' in decoded
