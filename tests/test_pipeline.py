@@ -47,3 +47,19 @@ def test_pipeline_handles_empty_detections():
     results = pipeline.ocr_pages([blank])
     assert len(results) == 1
     assert isinstance(results[0], list)
+
+
+def test_pipeline_pallas_front_matches(pages):
+    """use_pallas front (fused monochrome kernel) == XLA front."""
+    import jax.numpy as jnp
+    a = OCRPipeline(PAGE_SHAPE, weights=None, chunk=2, workers=2)
+    weights = {n: {p: np.asarray(v).tolist() for p, v in lp.items()}
+               for n, lp in a.front_params.items()}
+    b = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                    use_pallas=True)
+    batch = np.concatenate([(p * 255).astype(np.uint8) for p in pages])
+    m_a, p_a = a._front(a.front_params, jnp.asarray(batch))
+    m_b, p_b = b._front(b.front_params, jnp.asarray(batch))
+    # u8-quantized outputs: allow 1 ulp of quantization flips
+    assert np.abs(np.asarray(m_a).astype(int)
+                  - np.asarray(m_b).astype(int)).max() <= 1

@@ -89,7 +89,7 @@ class OCRPipeline:
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
-                 quantized_transfers=True, mesh=None):
+                 quantized_transfers=True, mesh=None, use_pallas=False):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -114,11 +114,33 @@ class OCRPipeline:
         para_forward = para.forward_fn
         quantized = quantized_transfers
 
+        if use_pallas:
+            from ..ops.pallas import fused_monochrome
+            interp = jax.devices()[0].platform == 'cpu'
+            H = page_shape[1]
+            # largest strip height <= 128 dividing H (VMEM budget for the
+            # 16-channel intermediate)
+            strip = max(d for d in range(1, 129) if H % d == 0)
+
+            def mono_fwd(params, x):
+                # Pallas fused monochrome block, vmapped over the chunk
+                w1 = params['Monochrome/conv_1']['w']
+                b1 = params['Monochrome/conv_1']['b']
+                w2 = params['Monochrome/conv_2']['w']
+                b2 = params['Monochrome/conv_2']['b']
+                return jax.vmap(
+                    lambda xi: fused_monochrome(xi[None], w1, b1, w2, b2,
+                                                strip_h=strip,
+                                                interpret=interp)[0]
+                )(x)
+        else:
+            mono_fwd = monochrome_forward
+
         def front(params, batch_u8):
             # pages upload as uint8 (4x less tunnel traffic); exact:
             # u8/255 reproduces the host encode_layers normalization.
             x = batch_u8.astype(jnp.float32) / 255.0
-            m = monochrome_forward(params, x)
+            m = mono_fwd(params, x)
             p = para_forward(params, [m])[0]
             # threshold the paragraph mask on device (mean per page, the
             # label_layer rule) and ship one byte per pixel instead of four
