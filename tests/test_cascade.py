@@ -251,3 +251,29 @@ def test_crop_and_rotate_benchmark_chain(page_layers, tmp_path, monkeypatch):
     decoded = (tmp_path / 'decoded.txt').read_text()
     assert '=== page 0 ===' in decoded
     assert '[0][0]' in decoded
+
+
+def test_make_up_skip_connection_block():
+    """make_up (upsample + concat skip + conv block) — in the zoo surface
+    though unused by the cascade (reference model.py:62-73)."""
+    from univer_ocr_tpu.models.model import make_up
+    from univer_ocr_tpu.nn.models import Model
+    block = make_up([4], kernel_size=(3, 3), padding=1)
+    model = Model(layers={'up': block},
+                  relations={'up': [0, 1], 0: 'up'})
+    # input 0: skip at full res; input 1: features at half res
+    model.initialize([(1, 8, 8, 2), (1, 4, 4, 3)])
+    skip = np.random.RandomState(0).rand(1, 8, 8, 2).astype(np.float32)
+    feats = np.random.RandomState(1).rand(1, 4, 4, 3).astype(np.float32)
+    out = model.predict([skip, feats])
+    assert np.asarray(out[0]).shape == (1, 8, 8, 4)
+
+
+def test_make_edge_detection():
+    from univer_ocr_tpu.models.model import make_edge_detection
+    func = make_edge_detection((1, 8, 8, 1))
+    X = np.ones((1, 8, 8, 1), np.float32)
+    out = np.asarray(func(X))
+    assert out.shape == (1, 8, 8, 1)
+    # sharpen kernel on a constant image: interior stays 1
+    np.testing.assert_allclose(out[0, 2:-2, 2:-2, 0], 1.0, rtol=1e-6)

@@ -76,8 +76,16 @@ class Model(BaseModel):
         self.layers = None
         self.relations = None
         self.relations_backward = {}
-        self.inputs_count = max(
-            v for k, v in relations.items() if isinstance(v, int)) + 1
+        # model inputs may appear as bare int values or inside source
+        # lists (the reference only scanned bare ints, models.py:45, which
+        # crashes graphs whose inputs are all multi-input edges)
+        input_ids = [
+            src
+            for v in relations.values()
+            for src in (v if isinstance(v, (list, tuple)) else [v])
+            if isinstance(src, int)
+        ]
+        self.inputs_count = max(input_ids) + 1
         self.outputs_count = max(
             k for k, v in relations.items() if isinstance(k, int)) + 1
         self.layers_outputs = {}
