@@ -325,15 +325,25 @@ class OCRPipeline:
             fronts.append(
                 (chunk, self._front(self.front_params, jnp.asarray(batch))))
 
+        # Prefetch D2H on a side thread so chunk i+1's transfer overlaps
+        # chunk i's host CV (the tunnel's D2H is the scarce resource).
+        def pull(item):
+            chunk, (mono_dev, para_dev) = item
+            return chunk, np.asarray(mono_dev), np.asarray(para_dev)
+
         results = []
-        for chunk, (mono_dev, para_dev) in fronts:
-            results.extend(self._ocr_chunk(chunk, mono_dev, para_dev))
+        pulled = self._pool.submit(pull, fronts[0]) if fronts else None
+        for i in range(len(fronts)):
+            chunk, mono, para = pulled.result()
+            if i + 1 < len(fronts):
+                pulled = self._pool.submit(pull, fronts[i + 1])
+            results.extend(self._ocr_chunk(chunk, mono, para))
         return results
 
-    def _ocr_chunk(self, pages, mono_dev, para_dev):
+    def _ocr_chunk(self, pages, mono, para):
         n = len(pages)
-        mono = np.asarray(mono_dev)
-        para = np.asarray(para_dev)
+        mono = np.asarray(mono)
+        para = np.asarray(para)
         if self.quantized_transfers:
             mono = mono.astype(np.float32) / 255.0
             para = np.unpackbits(para, axis=2)
