@@ -71,6 +71,12 @@ def rotate_array(array, angle=None, good_rotation=True):
     """(B, H, W, C) rotation in the (W, H) plane (reference :188-192)."""
     if angle is None:
         return array
+    if float(angle) % 90.0 == 0.0:
+        # exact right-angle rotation: identical values to ndimage.rotate
+        # (grid-aligned, no interpolation) at array-copy speed — this is
+        # the line-orientation fix path (rotation in {90, 180, 270})
+        k = (4 - int(float(angle) // 90)) % 4
+        return np.ascontiguousarray(np.rot90(array, k=k, axes=(2, 1)))
     order = 1 if good_rotation else 0
     if USE_NATIVE_ROTATE and _native.available() and array.ndim == 4 \
             and array.shape[0] == 1:
