@@ -28,18 +28,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
-                                       label_layer, pred_to_text_line,
-                                       pred_ids_to_text, rearrange_lines,
-                                       rotate_array)
 from scipy import ndimage
 
+from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
+                                       label_layer, pred_ids_to_text,
+                                       rearrange_lines, rotate_array)
 from .bucketing import round_up
-from .fastpath import char_forward_masked, line_forward_masked
+from .fastpath import (char_forward_masked, line_forward_masked,
+                       monochrome_forward)
 from .model import (CHAR_FIXED_WIDTH, CHAR_INPUT_HEIGHT, make_char,
                     make_divisible_by, make_line, make_monochrome,
                     make_paragraph)
-from .fastpath import monochrome_forward
 
 
 def crop_lines_of_paragraph(line_pred, mono_crop, zoomed_height,
