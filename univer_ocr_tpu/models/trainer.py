@@ -56,12 +56,16 @@ class Losses:
 
     def train(self, update):
         for name in self.model_names:
+            if name not in update:
+                continue     # model saw no samples (e.g. zero detections)
             out_losses = update[name]['output_losses']
             for i in range(self.outputs_cnts[name]):
                 self.train_losses[name][i] += out_losses[i]
 
     def validation(self, update):
         for name in self.model_names:
+            if name not in update:
+                continue
             out_losses = update[name]['output_losses']
             for i in range(self.outputs_cnts[name]):
                 self.val_losses[name][i] += out_losses[i]
