@@ -63,3 +63,38 @@ def test_pipeline_pallas_front_matches(pages):
     # u8-quantized outputs: allow 1 ulp of quantization flips
     assert np.abs(np.asarray(m_a).astype(int)
                   - np.asarray(m_b).astype(int)).max() <= 1
+
+
+def test_device_line_thresholding_matches_host():
+    """The quantized path's device-side threshold must equal host
+    thresholding of the trimmed prediction — including for a SMALL crop
+    inside the big canonical pad (regression: unmasked padding once
+    inflated the mean and emptied the mask)."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models import make_line
+    from univer_ocr_tpu.models.fastpath import line_forward_masked
+
+    model = make_line(PAGE_SHAPE)
+    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1)
+    pipe.line_model.params = model.params
+
+    rs = np.random.RandomState(3)
+    h, w = 48, 64                       # small crop, canonical pad 512x768
+    crop = rs.rand(1, h, w, 1).astype(np.float32)
+    crop_u8 = np.round(crop * 255).astype(np.uint8)
+
+    masks = pipe._run_line_batched([crop_u8.astype(np.float32) / 255.0])
+    got = masks[0][0, :, :, :]          # (h, w, 2) boolean-ish uint8
+
+    # compare against the same quantized input the device path sees
+    direct = np.asarray(model.predict(
+        (crop_u8.astype(np.float32) / 255.0))[0])[0]
+    expected = direct > 0.5 * (direct.mean(axis=(0, 1))
+                               + direct.max(axis=(0, 1)))
+    # reference thresholds each channel over the crop (per-channel stats)
+    exp0 = direct[:, :, 0] > 0.5 * (direct[:, :, 0].mean()
+                                    + direct[:, :, 0].max())
+    exp1 = direct[:, :, 1] > 0.5 * (direct[:, :, 1].mean()
+                                    + direct[:, :, 1].max())
+    np.testing.assert_array_equal(got[:, :, 0] > 0, exp0)
+    np.testing.assert_array_equal(got[:, :, 1] > 0, exp1)

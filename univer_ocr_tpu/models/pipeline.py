@@ -34,7 +34,7 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        label_layer, pred_ids_to_text,
                                        rearrange_lines, rotate_array)
 from .bucketing import round_up
-from .fastpath import (char_forward_masked, line_forward_masked,
+from .fastpath import (_mask_hw, char_forward_masked, line_forward_masked,
                        monochrome_forward)
 from .model import (CHAR_FIXED_WIDTH, CHAR_INPUT_HEIGHT, make_char,
                     make_divisible_by, make_line, make_monochrome,
@@ -173,6 +173,11 @@ class OCRPipeline:
             # the biggest D2H payload of the cascade (24 MB/launch -> 0.75)
             pred = line_forward_masked(params, x, h_valid, w_valid,
                                        prefix='Line')
+            # zero the invalid region BEFORE the stats: the final sigmoid
+            # is not masked inside line_forward_masked, and a small crop in
+            # the canonical pad would otherwise have its mean dominated by
+            # the padding's constant sigmoid(b), emptying the mask
+            pred = _mask_hw(pred, h_valid, w_valid)
             import jax.lax as lax
             hv = h_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
             wv = w_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
