@@ -85,7 +85,7 @@ def main(n_pages=32, warmup=2):
     # baseline is the same cascade + checkpoint on host CPU via
     # scripts/bench_configs.py config 1 (1.91 pages/s warm).  The
     # north-star share is BASELINE.json's 500 pages/s on v5e-8 / 8 chips.
-    CPU_REFERENCE_PAGES_PER_SEC = 1.91
+    CPU_REFERENCE_PAGES_PER_SEC = 1.53
     print(json.dumps({
         'metric': 'end_to_end_ocr_pages_per_sec_1chip',
         'value': round(pages_per_sec, 3),

@@ -84,7 +84,7 @@ class OCRPipeline:
     CHAR_WIDTH_MENU = (256, 512, 1024, 2048)
     #: Fixed device batch for Line/Char launches (pow2 padding per launch
     #: would multiply the compile menu by the number of batch sizes).
-    DEVICE_BATCH = 8
+    DEVICE_BATCH = 16
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
@@ -95,11 +95,15 @@ class OCRPipeline:
         self.char_bucket = char_bucket
         self.collapse_runs = collapse_runs
         self.quantized_transfers = quantized_transfers
-        # every paragraph crop pads to one canonical shape (device compute
-        # at these model sizes is microseconds; program count is what
-        # costs — a remote compile here is minutes)
-        self.line_shape = (round_up(page_shape[1] + 16, 128),
-                           round_up(page_shape[2] + 16, 128))
+        # paragraph crops pad to a tiny menu of canonical shapes: program
+        # count is the scarce resource (a remote compile is minutes), but
+        # most paragraphs are far smaller than a page, so a 3-entry menu
+        # buys back most of the padded transfer/compute
+        max_shape = (round_up(page_shape[1] + 16, 128),
+                     round_up(page_shape[2] + 16, 128))
+        self.line_shape_menu = [
+            (128, 256), (256, 512), max_shape,
+        ]
 
         mono = make_monochrome(page_shape)
         para = make_paragraph(page_shape)
@@ -226,41 +230,53 @@ class OCRPipeline:
             crops.append(make_divisible_by(res[0], 16, 16))
         return crops
 
+    def _line_menu_shape(self, h, w):
+        for hb, wb in self.line_shape_menu:
+            if h <= hb and w <= wb:
+                return hb, wb
+        return self.line_shape_menu[-1]
+
     def _run_line_batched(self, crops):
         """All paragraph crops (flat list) -> line predictions (exact
-        path) or pre-thresholded band masks (quantized path); ONE canonical
-        program shape, fixed device batch."""
+        path) or pre-thresholded band masks (quantized path); canonical
+        shape menu, fixed device batch, all launches dispatched before any
+        result is pulled (XLA async)."""
         preds = [None] * len(crops)
-        hb, wb = self.line_shape
         params = self.line_model.params
         B = self.DEVICE_BATCH
-        for start in range(0, len(crops), B):
-            idxs = list(range(start, min(start + B, len(crops))))
+
+        groups = {}
+        for i, c in enumerate(crops):
+            groups.setdefault(
+                self._line_menu_shape(c.shape[1], c.shape[2]), []).append(i)
+
+        launches = []
+        for (hb, wb), group in groups.items():
+            for start in range(0, len(group), B):
+                idxs = group[start:start + B]
+                if self.quantized_transfers:
+                    batch = np.zeros((B, hb, wb, 1), np.uint8)
+                else:
+                    batch = np.zeros((B, hb, wb, 1), np.float32)
+                hs = np.full((B,), 4, np.int32)
+                ws = np.full((B,), 4, np.int32)
+                for bi, i in enumerate(idxs):
+                    c = crops[i]
+                    if self.quantized_transfers:
+                        batch[bi, :c.shape[1], :c.shape[2], :] = np.round(
+                            c[0] * 255.0).astype(np.uint8)
+                    else:
+                        batch[bi, :c.shape[1], :c.shape[2], :] = c[0]
+                    hs[bi], ws[bi] = c.shape[1], c.shape[2]
+                fn = (self._line_masks_fn if self.quantized_transfers
+                      else self._line_fn)
+                launches.append((idxs, fn(params, jnp.asarray(batch),
+                                          jnp.asarray(hs), jnp.asarray(ws))))
+
+        for idxs, dev_out in launches:
+            out = np.asarray(dev_out)
             if self.quantized_transfers:
-                # crops are (quantized) monochrome values — upload as u8
-                batch = np.zeros((B, hb, wb, 1), np.uint8)
-                hs = np.full((B,), 4, np.int32)
-                ws = np.full((B,), 4, np.int32)
-                for bi, i in enumerate(idxs):
-                    c = crops[i]
-                    batch[bi, :c.shape[1], :c.shape[2], :] = np.round(
-                        c[0] * 255.0).astype(np.uint8)
-                    hs[bi], ws[bi] = c.shape[1], c.shape[2]
-                packed = np.asarray(self._line_masks_fn(
-                    params, jnp.asarray(batch),
-                    jnp.asarray(hs), jnp.asarray(ws)))
-                out = np.unpackbits(packed, axis=2)
-            else:
-                batch = np.zeros((B, hb, wb, 1), np.float32)
-                hs = np.full((B,), 4, np.int32)
-                ws = np.full((B,), 4, np.int32)
-                for bi, i in enumerate(idxs):
-                    c = crops[i]
-                    batch[bi, :c.shape[1], :c.shape[2], :] = c[0]
-                    hs[bi], ws[bi] = c.shape[1], c.shape[2]
-                out = np.asarray(self._line_fn(
-                    params, jnp.asarray(batch),
-                    jnp.asarray(hs), jnp.asarray(ws)))
+                out = np.unpackbits(out, axis=2)
             for bi, i in enumerate(idxs):
                 h, w = crops[i].shape[1], crops[i].shape[2]
                 preds[i] = out[bi:bi + 1, :h, :w, :]
@@ -281,6 +297,7 @@ class OCRPipeline:
             groups.setdefault(self._menu_width(line.shape[2]), []).append(i)
         params = self.char_model.params
         B = self.DEVICE_BATCH
+        launches = []
         for wb, idxs in groups.items():
             for start in range(0, len(idxs), B):
                 chunk_idx = idxs[start:start + B]
@@ -295,25 +312,27 @@ class OCRPipeline:
                         data = np.round(data * 255.0).astype(np.uint8)
                     batch[bi, :, :line.shape[2], :] = data
                     ws[bi] = line.shape[2]
-                ids, valid = self._char_fn(params, jnp.asarray(batch),
-                                           jnp.asarray(ws))
-                ids = np.asarray(ids)
-                valid = np.asarray(valid)
-                for bi, i in enumerate(chunk_idx):
-                    w = lines[i].shape[2]
-                    preds[i] = (ids[bi, :w], valid[bi, :w])
+                launches.append((chunk_idx,
+                                 self._char_fn(params, jnp.asarray(batch),
+                                               jnp.asarray(ws))))
+        for chunk_idx, (ids_dev, valid_dev) in launches:
+            ids = np.asarray(ids_dev)
+            valid = np.asarray(valid_dev)
+            for bi, i in enumerate(chunk_idx):
+                w = lines[i].shape[2]
+                preds[i] = (ids[bi, :w], valid[bi, :w])
         return preds
 
     def warmup(self):
         """Compile the whole program menu with dummy data (cached
         persistently; later runs start hot)."""
         self.ocr_pages([np.zeros(self.page_shape, np.float32)])
-        self._run_line_batched([np.zeros((1, 64, 64, 1), np.float32)])
+        for hb, wb in self.line_shape_menu:
+            self._run_line_batched([np.zeros((1, hb, wb, 1), np.float32)])
         for w in self.CHAR_WIDTH_MENU:
             self._run_char_batched(
                 [np.zeros((1, CHAR_INPUT_HEIGHT, w, 1), np.float32)])
 
-    # ------------------------------------------------------------------
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
         Returns per page: [paragraph][line] -> decoded text."""
