@@ -48,6 +48,9 @@ def conv2d(x, w, b, *, stride=(1, 1), padding=(0, 0), padding_value=0.0,
         padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=preferred_dtype,
+        # full f32 MXU precision: the TPU default lowers f32 matmuls to
+        # bf16 passes (~1e-2 error), violating the 1e-5 CPU-parity gate
+        precision=lax.Precision.HIGHEST,
     )
     if bias:
         y = y + b

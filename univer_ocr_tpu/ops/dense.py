@@ -8,6 +8,7 @@ MXU `jnp.dot`.
 """
 
 import jax.numpy as jnp
+from jax import lax
 
 
 def dense(x, w, *, preferred_dtype=None):
@@ -16,5 +17,6 @@ def dense(x, w, *, preferred_dtype=None):
     `preferred_dtype` sets the MXU accumulation type (float32 for bf16
     inputs); None inherits the input dtype (exact for f32/f64 runs).
     """
-    y = jnp.dot(x, w[:-1, :], preferred_element_type=preferred_dtype)
+    y = jnp.dot(x, w[:-1, :], preferred_element_type=preferred_dtype,
+                precision=lax.Precision.HIGHEST)
     return y + w[-1, :]

@@ -36,14 +36,18 @@ def _kernel(x_ref, w1_ref, w2_ref, w3_ref, out_ref, *, tile_w, channels):
              for k in range(UNFOLD)]
     unfolded = jnp.concatenate(parts, axis=1)       # (tile_w, 8*C)
 
+    import jax.lax as lax
     h = jnp.dot(unfolded, w1_ref[:-1, :],
-                preferred_element_type=jnp.float32) + w1_ref[-1, :]
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST) + w1_ref[-1, :]
     h = _leaky(h)
     h = jnp.dot(h, w2_ref[:-1, :],
-                preferred_element_type=jnp.float32) + w2_ref[-1, :]
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST) + w2_ref[-1, :]
     h = _leaky(h)
     logits = jnp.dot(h, w3_ref[:-1, :],
-                     preferred_element_type=jnp.float32) + w3_ref[-1, :]
+                     preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST) + w3_ref[-1, :]
     out_ref[0] = logits
 
 
