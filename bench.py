@@ -83,7 +83,7 @@ def main(n_pages=32, warmup=2):
 
     # The reference publishes no numbers (BASELINE.md); the measured
     # baseline is the same cascade + checkpoint on host CPU via
-    # scripts/bench_configs.py config 1 (1.91 pages/s warm).  The
+    # scripts/bench_configs.py config 1 (1.53 pages/s warm, trained weights).  The
     # north-star share is BASELINE.json's 500 pages/s on v5e-8 / 8 chips.
     CPU_REFERENCE_PAGES_PER_SEC = 1.53
     print(json.dumps({
