@@ -134,16 +134,11 @@ def train_model(use_gpu=False, show_progress_bar=False,
         make_context_func = make_context_maker(mode)
 
         def update_weights_func(models_to_update):
-            try:
-                weights = json.load(open(model_weights_file, 'r'))
-            except OSError:
-                weights = {}
-            for name, model in models.items():
-                if name not in models_to_update:
-                    continue
-                weights.update(model.get_weights())
-            json.dump(weights, open(model_weights_file, 'w'),
-                      separators=(',', ':'))
+            # atomic merge-save (write-temp + rename): concurrent readers
+            # (the web /ocr endpoint, predict) never see a torn file
+            from ..nn.checkpoint import save_weights
+            save_weights({name: model for name, model in models.items()
+                          if name in models_to_update}, model_weights_file)
 
         if save_train_progress:
             save_pictures_func = _make_save_pictures_func(mode)
