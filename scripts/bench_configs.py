@@ -4,10 +4,11 @@ and the accelerator-vs-CPU layer parity suite.
     python scripts/bench_configs.py          # CPU config 1
     python scripts/bench_configs.py identity # config 2 (needs idle TPU)
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def config1_cpu_single_page():

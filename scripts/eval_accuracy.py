@@ -6,10 +6,11 @@ char-level similarity (difflib ratio) and exact-line rate.
 
     python scripts/eval_accuracy.py [n_pages] [--collapse]
 """
+import os
 import sys
 from difflib import SequenceMatcher
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -2,8 +2,9 @@
 
     python scripts/train_tpu.py MONO PARA LINE CHAR [ALL]
 """
+import os
 import sys
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from univer_ocr_tpu.models.train import train_model
 from univer_ocr_tpu.models.model import Modes

@@ -97,6 +97,36 @@ def test_rearrange_lines_upside_down():
     assert rotation == 180
 
 
+def test_rearrange_lines_sideways():
+    mask = make_line_bands()
+    # rotate the page 90° CW: text reads top-to-bottom, top bands to the
+    # right of bottom bands -> rotation 90 to restore
+    cw = np.rot90(mask, k=-1, axes=(1, 2)).copy()
+    top = label_layer(cw[:, :, :, 0:1] > 0.5)
+    bottom = label_layer(cw[:, :, :, 1:2] > 0.5)
+    _, _, rotation = rearrange_lines(top, bottom)
+    assert rotation == 90
+    # and 90° CCW -> rotation 270
+    ccw = np.rot90(mask, k=1, axes=(1, 2)).copy()
+    top = label_layer(ccw[:, :, :, 0:1] > 0.5)
+    bottom = label_layer(ccw[:, :, :, 1:2] > 0.5)
+    _, _, rotation = rearrange_lines(top, bottom)
+    assert rotation == 270
+
+
+def test_orientation_code():
+    """Sign-test replacement for the reference's `dist_point *= 1000`
+    amplification loop: the loop's fixpoint is the displacement sign."""
+    from univer_ocr_tpu.interpreter.interpreter import _orientation_code
+    assert _orientation_code(-10.0, 1.0) is None      # top above bottom
+    assert _orientation_code(10.0, 1.0) == 180        # top below bottom
+    assert _orientation_code(1.0, 10.0) == 90         # top right of bottom
+    assert _orientation_code(1.0, -10.0) == 270       # top left of bottom
+    assert _orientation_code(0.0, 0.0) is None        # degenerate: upright
+    # equal magnitudes resolve on the x axis (reference's strict abs(dy)>abs(dx))
+    assert _orientation_code(5.0, 5.0) == 90
+
+
 def test_crop_rotate_and_zoom_lines():
     mask = make_line_bands(n_lines=2)
     payload = np.random.RandomState(1).rand(1, 100, 200, 1)

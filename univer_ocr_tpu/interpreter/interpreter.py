@@ -30,6 +30,8 @@ import os
 import signal
 from datetime import datetime as dt
 from queue import Empty
+from queue import Queue as ThreadQueue
+from threading import Event as ThreadEvent
 from threading import Thread
 from time import sleep
 
@@ -143,92 +145,109 @@ def find_rotation_angle(mask, eps=1.0):
 
 
 # ---------------------------------------------------------------------------
-# Line geometry (reference :24-107)
+# Line geometry — vectorized matching and ordering
+#
+# Same observable behavior as the reference's per-point Python geometry
+# (interpreter.py:24-107), rebuilt on whole-array NumPy: pairwise distance
+# matrices for band matching, sign tests for orientation (the reference
+# amplifies a displacement vector in a `*= 1000` loop until a bound test
+# resolves — the fixpoint of that loop is exactly the displacement's sign,
+# which is what's computed here; pinned by test_interpreter orientation
+# tests), and stable argsorts for reading order.
 # ---------------------------------------------------------------------------
 
+def _mask_centers(masks):
+    """Center of mass of each boolean mask (mean of foreground coords)."""
+    return [np.argwhere(np.asarray(m)).mean(axis=0) for m in masks]
+
+
+def _nearest(anchors, candidates):
+    """Index of the closest candidate point for every anchor point."""
+    a = np.asarray(anchors, dtype=float)
+    c = np.asarray(candidates, dtype=float)
+    d = np.linalg.norm(a[:, None, :] - c[None, :, :], axis=-1)
+    return d.argmin(axis=1)
+
+
 def rearrange_points(points_top, points_center, points_bottom):
-    new_top = [
-        sorted(points_top, key=lambda x: np.linalg.norm(center - x))[0]
-        for center in points_center
-    ]
-    new_bottom = [
-        sorted(points_bottom, key=lambda x: np.linalg.norm(center - x))[0]
-        for center in points_center
-    ]
+    """For every center-band point pick the nearest top and bottom points
+    (reference :24-33, as one distance-matrix argmin per side)."""
+    near_top = _nearest(points_center, points_top)
+    near_bottom = _nearest(points_center, points_bottom)
+    new_top = [points_top[i] for i in near_top]
+    new_bottom = [points_bottom[i] for i in near_bottom]
     return new_top, points_center, new_bottom
 
 
 def get_center_of_mass(lines_top, lines_bottom):
-    top = [np.array(ndimage.center_of_mass(x)) for x in lines_top]
-    bottom = [np.array(ndimage.center_of_mass(x)) for x in lines_bottom]
-    return top, bottom
+    return _mask_centers(lines_top), _mask_centers(lines_bottom)
+
+
+def _orientation_code(dy, dx):
+    """Text rotation in {None, 90, 180, 270} from the top->bottom band
+    displacement (dy, dx).
+
+    Upright text has its top band above its bottom band (dy < 0); each
+    right-angle rotation moves the displacement to the corresponding
+    axis/sign.  The dominant axis decides (strictly, matching the
+    reference's `abs(dy) > abs(dx)` branch), zero displacement defaults to
+    upright (the reference raised UnboundLocalError on that degenerate
+    input).
+    """
+    if abs(dy) > abs(dx):
+        return 180 if dy > 0 else None
+    if dx > 0:
+        return 90
+    if dx < 0:
+        return 270
+    return None
+
+
+#: Reading-order sort key per orientation: coordinate axis and direction
+#: along which line centers increase in reading order.
+_ORIENTATION_KEYS = {None: (1, +1), 180: (1, -1), 270: (2, +1), 90: (2, -1)}
 
 
 def rearrange_lines(lines_top, lines_bottom):
     """Match top/bottom line bands by center-of-mass proximity, infer the
     text orientation (0/90/180/270), and sort lines in reading order
-    (reference interpreter.py:42-82; the reference's UnboundLocalError on
-    degenerate geometry is fixed by defaulting to upright)."""
+    (reference interpreter.py:42-82)."""
     if not lines_top or not lines_bottom:
         # Degenerate detection (e.g. untrained Line model): no lines.
         return [], [], None
 
-    def cm(tops, bottoms):
-        cm_top, cm_bottom = get_center_of_mass(tops, bottoms)
-        return list(zip(cm_top, tops)), list(zip(cm_bottom, bottoms))
+    cm_top = np.asarray(_mask_centers(lines_top))
+    pick = _nearest(cm_top, _mask_centers(lines_bottom))
+    lines_bottom = [lines_bottom[i] for i in pick]
+    cm_bottom = np.asarray(_mask_centers(lines_bottom))
 
-    top, bottom = cm(lines_top, lines_bottom)
-    lines_bottom = [
-        sorted(bottom, key=lambda x: np.linalg.norm(c[0] - x[0]))[0][1]
-        for c in top
-    ]
+    # (1, H, W, 1) masks: component 1 is y, component 2 is x
+    delta = cm_top[0] - cm_bottom[0]
+    rotation = _orientation_code(delta[1], delta[2])
 
-    _, h, w, _ = lines_top[0].shape
-    dist_point = top[0][0] - bottom[0][0]
-    while 0 < dist_point[1] < h or 0 < dist_point[2] < w:
-        dist_point = dist_point * 1000
-
-    def sort_key(x):           # default: upright text, top-to-bottom
-        return x[0][1]
-    rotation = None
-
-    if abs(dist_point[1]) > abs(dist_point[2]):
-        if dist_point[1] < 0:
-            def sort_key(x):
-                return x[0][1]
-            rotation = None
-        elif dist_point[1] > h:
-            def sort_key(x):
-                return -x[0][1]
-            rotation = 180
-    else:
-        if dist_point[2] < 0:
-            def sort_key(x):
-                return x[0][2]
-            rotation = 270
-        elif dist_point[2] > w:
-            def sort_key(x):
-                return -x[0][2]
-            rotation = 90
-
-    top, bottom = cm(lines_top, lines_bottom)
-    lines_top = [t[1] for t in sorted(top, key=sort_key)]
-    lines_bottom = [b[1] for b in sorted(bottom, key=sort_key)]
-    return lines_top, lines_bottom, rotation
+    axis, sign = _ORIENTATION_KEYS[rotation]
+    order_top = np.argsort(sign * cm_top[:, axis], kind='stable')
+    order_bottom = np.argsort(sign * cm_bottom[:, axis], kind='stable')
+    return ([lines_top[i] for i in order_top],
+            [lines_bottom[i] for i in order_bottom],
+            rotation)
 
 
 def get_sort_ids(center, vector, array):
-    """Order points along `vector`'s perpendicular through `center`
-    (pseudoscalar-product split; reference :85-92)."""
-    def pseudoscalar_prod(a, b):
-        return a[1] * b[0] - b[1] * a[0]
-    left = [(i, el) for i, el in enumerate(array)
-            if pseudoscalar_prod(vector, el - center) <= 0]
-    right = [(i, el) for i, el in enumerate(array)
-             if pseudoscalar_prod(vector, el - center) > 0]
-    left = sorted(left, key=lambda x: np.linalg.norm(x[1] - center), reverse=True)
-    right = sorted(right, key=lambda x: np.linalg.norm(x[1] - center))
-    return [i for i, _ in left + right]
+    """Order points for reading: split by the sign of the pseudoscalar
+    product with `vector` (which side of the line through `center`), then
+    by distance — far-to-near on the non-positive side, near-to-far on the
+    positive side (reference :85-102, vectorized)."""
+    if len(array) == 0:
+        return []
+    rel = np.asarray(array, dtype=float) - np.asarray(center, dtype=float)
+    cross = vector[1] * rel[:, 0] - rel[:, 1] * vector[0]
+    dist = np.linalg.norm(rel, axis=1)
+    left = np.nonzero(cross <= 0)[0]
+    right = np.nonzero(cross > 0)[0]
+    left = left[np.argsort(-dist[left], kind='stable')]
+    right = right[np.argsort(dist[right], kind='stable')]
+    return np.concatenate([left, right]).tolist()
 
 
 def get_letter_sort_ids(cm_top, cm_bottom, letter_positions):
@@ -236,15 +255,13 @@ def get_letter_sort_ids(cm_top, cm_bottom, letter_positions):
 
 
 def get_line_sort_ids(cm_tops, cm_bottoms, cm_centers):
-    def rotate90(vector):
-        return np.array((vector[1], -vector[0]))
-    return get_sort_ids(cm_bottoms[0], rotate90(cm_tops[0] - cm_bottoms[0]),
-                        cm_centers)
+    up = cm_tops[0] - cm_bottoms[0]
+    along = np.array((up[1], -up[0]))     # 90° rotation: reading direction
+    return get_sort_ids(cm_bottoms[0], along, cm_centers)
 
 
 def iter_by_indices(iterable, indices):
-    for index in indices:
-        yield iterable[index]
+    return (iterable[index] for index in indices)
 
 
 # ---------------------------------------------------------------------------
@@ -265,69 +282,82 @@ def decode_bits_to_ids(bits):
 # Ground-truth decoder (reference interpret(), :110-171)
 # ---------------------------------------------------------------------------
 
+def _char_anchor_table(char_full_box_layer, bits_layers):
+    """All character anchors decoded up front.
+
+    Each char's full box collapses to its center pixel; the 8 bit planes
+    are sampled at every center in ONE vectorized gather + decode, instead
+    of the per-character 8-bit reads of the per-line loop.  Returns the
+    (K, 2) anchor coordinates, their (K,) decoded ids, and an (H, W) map
+    from pixel to anchor index (-1 elsewhere).
+    """
+    boxes = ndimage.find_objects(ndimage.label(char_full_box_layer)[0])
+    anchors = np.array(
+        [((y.start + y.stop - 1) // 2, (x.start + x.stop - 1) // 2)
+         for y, x in boxes], dtype=np.int64).reshape(-1, 2)
+    bits_at = bits_layers[:, anchors[:, 0], anchors[:, 1]].T    # (K, 8)
+    ids = decode_bits_to_ids(bits_at)
+    index_map = np.full(char_full_box_layer.shape, -1, dtype=np.int64)
+    index_map[anchors[:, 0], anchors[:, 1]] = np.arange(len(anchors))
+    return anchors, ids, index_map
+
+
 def interpret(layers):
     """Decode text for every (paragraph, line) directly from ground-truth
     mask layers — no NN involved.  Used by the web /interpret_data route
-    and as the geometric-contract test for the page generator."""
+    and as the geometric-contract test for the page generator.
+
+    Same decoding contract as reference interpret() (interpreter.py:110-171)
+    with a restructured dataflow: all char anchors are located and decoded
+    once (vectorized), then each line only selects + orders its anchors.
+    One deliberate fix: letter ordering uses the decoded line's OWN band
+    centers (`cm_*[line_id]`); the reference indexes them with the line's
+    position in reading order (`cm_*[l_id]`), pairing a line with another
+    line's geometry whenever sorting reorders (e.g. rotated paragraphs).
+    """
     paragraph_layer = np.array(layers['paragraph'])
-    line_top_layer = np.array(layers['line_top'])
-    line_center_layer = np.array(layers['line_center'])
-    line_bottom_layer = np.array(layers['line_bottom'])
-    not_letter_spacing_layer = ~(np.array(layers['letter_spacing']) > 0)
-    char_full_box_layer = np.array(layers['char_full_box']) & not_letter_spacing_layer
+    band = {name: np.array(layers[f'line_{name}'])
+            for name in ('top', 'center', 'bottom')}
+    not_spacing = ~(np.array(layers['letter_spacing']) > 0)
+    char_boxes = np.array(layers['char_full_box']) & not_spacing
     bits_layers = np.array([
         np.array(layers[f'bit_{i}']) > 0
         for i in range(BITS_COUNT)
-    ]) & not_letter_spacing_layer
+    ]) & not_spacing
 
-    char_box_objects = [
-        ((y.start + y.stop - 1) // 2, (x.start + x.stop - 1) // 2)
-        for y, x in ndimage.find_objects(ndimage.label(char_full_box_layer)[0])
-    ]
-    char_box_points = np.zeros_like(char_full_box_layer)
-    for y, x in char_box_objects:
-        char_box_points[y, x] = 1
-
+    anchors, char_ids, anchor_index = _char_anchor_table(char_boxes,
+                                                         bits_layers)
     result = {}
-
-    labeled_paragraph = label_layer(paragraph_layer)
-    for p_id, paragraph_mask in enumerate(labeled_paragraph):
+    for p_id, paragraph_mask in enumerate(label_layer(paragraph_layer)):
         p_y, p_x = ndimage.find_objects(paragraph_mask)[0]
         start = np.array([p_y.start, p_x.start])
-
-        masked_line_top = label_layer(
-            paragraph_mask[p_y, p_x] * line_top_layer[p_y, p_x])
-        masked_line_center = label_layer(
-            paragraph_mask[p_y, p_x] * line_center_layer[p_y, p_x])
-        masked_line_bottom = label_layer(
-            paragraph_mask[p_y, p_x] * line_bottom_layer[p_y, p_x])
+        clipped = paragraph_mask[p_y, p_x]
+        bands = {name: label_layer(clipped * band[name][p_y, p_x])
+                 for name in ('top', 'center', 'bottom')}
         cm_top, cm_center, cm_bottom = rearrange_points(
-            [np.array(ndimage.center_of_mass(x)) for x in masked_line_top],
-            [np.array(ndimage.center_of_mass(x)) for x in masked_line_center],
-            [np.array(ndimage.center_of_mass(x)) for x in masked_line_bottom])
-        line_sort_ids = get_line_sort_ids(cm_top, cm_bottom, cm_center)
+            _mask_centers(bands['top']),
+            _mask_centers(bands['center']),
+            _mask_centers(bands['bottom']))
 
-        for l_id, line in enumerate(iter_by_indices(masked_line_center,
-                                                    line_sort_ids)):
+        for l_id, line_id in enumerate(
+                get_line_sort_ids(cm_top, cm_bottom, cm_center)):
+            line = bands['center'][line_id]
             s_y, s_x = ndimage.find_objects(line)[0]
-            points = np.argwhere(
-                line[s_y, s_x] * char_box_points[
-                    start[0] + s_y.start:start[0] + s_y.stop,
-                    start[1] + s_x.start:start[1] + s_x.stop])
-            positions = [
-                np.array((y + start[0] + s_y.start, x + start[1] + s_x.start))
-                for y, x in points
-            ]
-            letter_sort_ids = get_letter_sort_ids(
-                start + cm_top[l_id], start + cm_bottom[l_id], positions)
-            res = ''
-            for y, x in iter_by_indices(positions, letter_sort_ids):
-                char_id = int(decode_bits_to_ids(bits_layers[:, y, x]))
-                if char_id >= len(CHARS):
+            window = anchor_index[start[0] + s_y.start:start[0] + s_y.stop,
+                                  start[1] + s_x.start:start[1] + s_x.stop]
+            ks = window[line[s_y, s_x] & (window >= 0)]
+            positions = anchors[ks]
+            order = get_letter_sort_ids(
+                start + cm_top[line_id], start + cm_bottom[line_id],
+                positions)
+            text = []
+            for k in (ks[i] for i in order):
+                if char_ids[k] >= len(CHARS):
+                    y, x = anchors[k]
                     print(f'Could not recognize character at position [{x};{y}]')
                     continue
-                res += CHARS[char_id]
-            result[(p_id, l_id)] = res
+                text.append(CHARS[char_ids[k]])
+            result[(p_id, l_id)] = ''.join(text)
 
     return result
 
@@ -420,17 +450,30 @@ class CropAndRotateParagraphs:
 # ---------------------------------------------------------------------------
 
 class BaseWorkersPool:
-    """Daemon thread owning an MP.Pool fed through manager queues
+    """Daemon thread owning an MP.Pool fed through in/out queues
     (reference :381-418) — kept for API parity; subclasses fan work out
-    with pool.apply_async."""
+    with pool.apply_async.
+
+    In the default threading mode the queues are plain `queue.Queue` and
+    the done-flag a `threading.Event`: spinning up a Manager would fork a
+    server process after JAX's threads exist (a deadlock hazard flagged by
+    os.fork warnings).  Manager-backed queues are created only under
+    `MP.use_multiprocessing()`, where cross-process queues are required.
+    """
 
     def __init__(self, workers_count=None):
-        self.manager = MP.mp.Manager()
-        self.input_queue = self.manager.Queue()
-        self.output_queue = self.manager.Queue()
+        if MP.is_multiprocessing_used:
+            self.manager = MP.mp.Manager()
+            self.input_queue = self.manager.Queue()
+            self.output_queue = self.manager.Queue()
+            self.done = MP.mp.Event()
+        else:
+            self.manager = None
+            self.input_queue = ThreadQueue()
+            self.output_queue = ThreadQueue()
+            self.done = ThreadEvent()
         self.workers_count = (os.cpu_count() if workers_count is None
                               else workers_count)
-        self.done = MP.mp.Event()
         self.run_thread = Thread(target=self._run, daemon=True)
         self.run_thread.start()
 

@@ -557,7 +557,7 @@ class FastLineTrainComponent(ModelComponent):
         self.selector(context)
         for X, y in self.selector.get():
             losses, pred = self._run(X, y, training=True)
-            self._record_losses(context, losses)
+            self._tally_losses(context, losses)
             self.selector.put(pred if self.delist_result else [pred])
 
     def test(self, context):
@@ -565,7 +565,7 @@ class FastLineTrainComponent(ModelComponent):
         for X, y in self.selector.get():
             losses, pred = self._run(X, y, training=False)
             # test() reports output losses only (reference models.py:256-268)
-            self._record_losses(context, {
+            self._tally_losses(context, {
                 'output_losses': losses['output_losses']})
             self.selector.put(pred if self.delist_result else [pred])
 
@@ -623,7 +623,7 @@ class FastCharTrainComponent(ModelComponent):
         self.selector(context)
         for X, y in self.selector.get():
             losses, pred = self._run(X, y, training=True)
-            self._record_losses(context, losses)
+            self._tally_losses(context, losses)
             self.selector.put(pred if self.delist_result else [pred])
 
     def test(self, context):
@@ -631,7 +631,7 @@ class FastCharTrainComponent(ModelComponent):
         self.selector(context)
         for X, y in self.selector.get():
             losses, pred = self._run(X, y, training=False)
-            self._record_losses(context, {
+            self._tally_losses(context, {
                 'output_losses': losses['output_losses']})
             # per-column char accuracy on labeled (non-background) columns
             y_np = np.asarray(y)

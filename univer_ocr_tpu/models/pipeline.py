@@ -369,7 +369,9 @@ class OCRPipeline:
         para = np.asarray(para)
         if self.quantized_transfers:
             mono = mono.astype(np.float32) / 255.0
-            para = np.unpackbits(para, axis=2)
+            # packbits rounded W up to a multiple of 8 on device; slice the
+            # unpacked mask back so it broadcasts against the monochrome map
+            para = np.unpackbits(para, axis=2)[:, :, :mono.shape[2], :]
 
         # host: paragraph crops per page (threaded)
         crops_per_page = list(self._pool.map(

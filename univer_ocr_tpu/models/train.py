@@ -23,54 +23,89 @@ from .datasets import (RandomSelectDataset, decode_X, decode_y,
 from .model import Modes, make_context_maker, make_model_system
 from .trainer import Trainer
 
+class TrainReporter:
+    """Telemetry fan-out for a training run.
+
+    With no sink connected everything falls back to the console; once a
+    Socket.IO-style client is connected (`init_emitter`, called by the
+    root train.py when launched from the web dashboard) the same payloads
+    go out as `message` / `info` / `progress_tracker` events — the event
+    vocabulary the dashboard's JS listens for (reference train.py:17-64).
+    """
+
+    #: tracker events folded into one dashboard table-update type
+    _TIMING_EVENTS = frozenset(('forward', 'backward'))
+
+    def __init__(self, sink=None):
+        self._sink = sink
+
+    def connect(self, sink):
+        self._sink = sink
+
+    def _send(self, event, payload):
+        if self._sink is not None:
+            self._sink.emit(event, payload)
+            return True
+        return False
+
+    def message(self, *parts, sep=' ', end='\n'):
+        text = sep.join(str(part) for part in parts) + end
+        if not self._send('message', text):
+            print(text)
+
+    def info(self, info):
+        if self._send('info', info):
+            return
+        for info_type, info_data in info.items():
+            print(f'{info_type}:')
+            pprint(info_data, indent=4)
+            print()
+
+    @staticmethod
+    def _fold_timings(summary):
+        """ProgressTracker summary -> {layer: {event: {counter, done,
+        time}}} rows for the dashboard's per-layer table."""
+        table = {}
+        for layer, events in summary.items():
+            table[layer] = {
+                entry['name']: {'counter': entry['counter'],
+                                'done': entry['done'],
+                                'time': str(entry['time'])}
+                for entry in events}
+        return table
+
+    def status(self, status_type, status_data=None):
+        if status_type in self._TIMING_EVENTS:
+            status_type = 'forward_backward'
+            status_data = self._fold_timings(status_data)
+        payload = {'type': status_type}
+        if status_data is not None:
+            payload['data'] = status_data
+        self._send('progress_tracker', payload)
+
+
+_reporter = TrainReporter()
+
+#: kept for callers that inspect the module-level emitter
 emitter = None
 
 
 def init_emitter(new_emitter):
     global emitter
     emitter = new_emitter
+    _reporter.connect(new_emitter)
 
 
-def emit(message_type, obj):
-    if emitter is None:
-        return
-    emitter.emit(message_type, obj)
-
-
-def message(*message, sep=' ', end='\n'):
-    text = sep.join(str(x) for x in message) + end
-    if emitter is None:
-        print(text)
-        return
-    emit('message', text)
+def message(*parts, sep=' ', end='\n'):
+    _reporter.message(*parts, sep=sep, end=end)
 
 
 def emit_info(info):
-    if emitter is None:
-        for info_type, info_data in info.items():
-            print(f'{info_type}:')
-            pprint(info_data, indent=4)
-            print()
-        return
-    emit('info', info)
+    _reporter.info(info)
 
 
 def emit_status(status_type, status_data=None):
-    if status_type in ['forward', 'backward']:
-        status_type = 'forward_backward'
-        status_data = {
-            name: {
-                e['name']: {
-                    'counter': e['counter'],
-                    'done': e['done'],
-                    'time': str(e['time'])
-                } for e in events}
-            for name, events in status_data.items()
-        }
-    status = {'type': status_type}
-    if status_data is not None:
-        status['data'] = status_data
-    emit('progress_tracker', status)
+    _reporter.status(status_type, status_data)
 
 
 #: The reference's curriculum table (my_model/train.py:100-106).
@@ -195,101 +230,104 @@ def train_model(use_gpu=False, show_progress_bar=False,
                 f'on epoch #{best_loss_epoch}')
 
 
+class ProgressSnapshots:
+    """Per-iteration X / y / pred / threshold PNG dumps.
+
+    Writes under train_progress/<mode>/<stage>/ with the reference's file
+    naming (train.py:143-241) — single_iteration_from_train_progress.py
+    globs these names, so they are an interface.  Restructured as a class
+    with one saver per cascade stage, dispatched from the mode table; the
+    Char panel assembly is vectorized (the reference argmaxes per batch
+    row in a Python loop).
+    """
+
+    def __init__(self, mode):
+        self.mode = mode
+        #: which stage savers run for which training mode
+        self._stages = {
+            Modes.TRAIN_MONOCHROME: (self._monochrome,),
+            Modes.TRAIN_PARAGRAPH: (self._paragraph,),
+            Modes.TRAIN_LINE: (self._line,),
+            Modes.TRAIN_CHAR: (self._char,),
+            Modes.TRAIN_ALL: (self._monochrome, self._paragraph,
+                              self._line, self._char),
+        }
+
+    def __call__(self, epoch, phase, index, context):
+        self._prefix = f'{epoch}_{phase}_{index}_'
+        for saver in self._stages.get(self.mode, ()):
+            saver(context)
+
+    # -- plumbing --------------------------------------------------------
+
+    def _dir(self, stage):
+        path = TRAIN_PROGRESS_PATH / self.mode.name.lower() / stage
+        path.mkdir(parents=True, exist_ok=True)
+        return path
+
+    @staticmethod
+    def _ids(paragraph_id, line_id):
+        return ((''if paragraph_id is None else f'{paragraph_id}_')
+                + ('' if line_id is None else f'{line_id}_'))
+
+    def _save_quad(self, stage, X, y, pred, th,
+                   paragraph_id=None, line_id=None):
+        path = self._dir(stage)
+        tag = self._prefix + self._ids(paragraph_id, line_id)
+        for i, image in enumerate(X):
+            image.save(path / f'{tag}1_{i}_1_X.png')
+        for i in range(len(y)):
+            for suffix, image in (('2_y', y[i]), ('3_pred', pred[i]),
+                                  ('4_th', th[i])):
+                image.save(path / f'{tag}2_{i}_{suffix}.png')
+
+    def _save_panel(self, stage, array, paragraph_id, line_id):
+        path = self._dir(stage)
+        tag = self._prefix + self._ids(paragraph_id, line_id)
+        Image.fromarray((array * 255).astype(np.uint8)).save(
+            path / f'{tag}.png')
+
+    # -- stage savers ----------------------------------------------------
+
+    def _monochrome(self, context):
+        self._save_quad('monochrome',
+                        [decode_X(context['monochrome_X'])],
+                        decode_y(context['monochrome_y'])[0],
+                        *decode_y(context['monochrome_pred']))
+
+    def _paragraph(self, context):
+        self._save_quad('paragraph',
+                        decode_y(context['paragraph_X'])[0],
+                        decode_y(context['paragraph_y'])[0],
+                        *decode_y(context['paragraph_pred']))
+
+    def _line(self, context):
+        per_paragraph = zip(context['cropped_monochrome_cpu'],
+                            context['cropped_line_cpu'],
+                            context['line_pred'])
+        for p_id, (crop, bands, pred) in enumerate(per_paragraph):
+            self._save_quad('line',
+                            decode_y(crop)[0], decode_y(bands)[0],
+                            *decode_y(pred), paragraph_id=p_id)
+
+    def _char(self, context):
+        """RGB panel per line: monochrome crop on top, then (pred argmax,
+        labels, their overlap) as color channels over (W, classes)."""
+        def column(grid):            # (W, C) -> (C, W, 1) image plane
+            return np.asarray(grid).T[:, :, None]
+
+        crops = context['cropped_2_monochrome_cpu']
+        for p_id, lines in enumerate(crops):
+            for l_id in range(len(lines)):
+                logits = np.asarray(context['char_pred'][p_id][l_id])
+                pred = column(logits == logits.max(axis=1, keepdims=True))
+                labels = column(context['char_labels_cpu'][p_id][l_id])
+                panel = np.concatenate([pred, labels, pred * labels], axis=2)
+                mono_rgb = np.repeat(lines[l_id][0], 3, axis=2)
+                self._save_panel('char',
+                                 np.concatenate([mono_rgb, panel], axis=0),
+                                 p_id, l_id)
+
+
 def _make_save_pictures_func(mode):
-    """Train-progress PNG dumps (reference train.py:143-241)."""
-    def save_pictures_func(epoch, phase, index, context):
-        def save(name, X, y, pred, th, paragraph_id=None, line_id=None):
-            sp = TRAIN_PROGRESS_PATH / f'{mode.name}'.lower() / f'{name}'
-            sp.mkdir(parents=True, exist_ok=True)
-            prefix = f'{epoch}_{phase}_{index}_'
-            paragraph_id = '' if paragraph_id is None else f'{paragraph_id}_'
-            line_id = '' if line_id is None else f'{line_id}_'
-            for i in range(len(X)):
-                X[i].save(sp / f'{prefix}{paragraph_id}{line_id}1_{i}_1_X.png')
-            for i in range(len(y)):
-                y[i].save(sp / f'{prefix}{paragraph_id}{line_id}2_{i}_2_y.png')
-                pred[i].save(
-                    sp / f'{prefix}{paragraph_id}{line_id}2_{i}_3_pred.png')
-                th[i].save(
-                    sp / f'{prefix}{paragraph_id}{line_id}2_{i}_4_th.png')
-
-        def save_concated(name, concatenated, paragraph_id, line_id):
-            sp = TRAIN_PROGRESS_PATH / f'{mode.name}'.lower() / f'{name}'
-            sp.mkdir(parents=True, exist_ok=True)
-            prefix = f'{epoch}_{phase}_{index}_'
-            paragraph_id = '' if paragraph_id is None else f'{paragraph_id}_'
-            line_id = '' if line_id is None else f'{line_id}_'
-            concatenated.save(sp / f'{prefix}{paragraph_id}{line_id}.png')
-
-        def to_image(array):
-            return Image.fromarray((array * 255).astype(np.uint8))
-
-        def save_monochrome():
-            X = [decode_X(context['monochrome_X'])]
-            y, _ = decode_y(context['monochrome_y'])
-            pred, th = decode_y(context['monochrome_pred'])
-            save('monochrome', X, y, pred, th)
-
-        if mode is Modes.TRAIN_MONOCHROME:
-            save_monochrome()
-            return
-
-        def save_paragraph():
-            X, _ = decode_y(context['paragraph_X'])
-            y, _ = decode_y(context['paragraph_y'])
-            pred, th = decode_y(context['paragraph_pred'])
-            save('paragraph', X, y, pred, th)
-
-        if mode is Modes.TRAIN_PARAGRAPH:
-            save_paragraph()
-            return
-
-        def save_line():
-            c_m_y = context['cropped_monochrome_cpu']
-            c_l_y = context['cropped_line_cpu']
-            c_l_pred = context['line_pred']
-            for paragraph_id in range(len(c_m_y)):
-                X, _ = decode_y(c_m_y[paragraph_id])
-                y, _ = decode_y(c_l_y[paragraph_id])
-                pred, th = decode_y(c_l_pred[paragraph_id])
-                save('line', X, y, pred, th, paragraph_id=paragraph_id)
-
-        if mode is Modes.TRAIN_LINE:
-            save_line()
-            return
-
-        def save_char():
-            c2_m_y = context['cropped_2_monochrome_cpu']
-            c_l = context['char_labels_cpu']
-            c_pred = context['char_pred']
-
-            for paragraph_id in range(len(c2_m_y)):
-                for line_id in range(len(c2_m_y[paragraph_id])):
-                    c_pred_np = np.asarray(c_pred[paragraph_id][line_id])
-                    c_pred_max = np.zeros_like(c_pred_np)
-                    for batch in range(c_pred_np.shape[0]):
-                        max_val = np.max(c_pred_np[batch, :])
-                        c_pred_max[batch, :] = c_pred_np[batch, :] == max_val
-                    c0 = c2_m_y[paragraph_id][line_id][0, :, :, :]
-                    c0 = np.concatenate([c0, c0, c0], axis=2)
-                    c1 = c_pred_max.transpose()
-                    c1 = np.reshape(c1, (*c1.shape, 1))
-                    c2 = c_l[paragraph_id][line_id].transpose()
-                    c2 = np.reshape(c2, (*c2.shape, 1))
-                    c3 = c1 * c2
-                    concated = np.concatenate([c1, c2, c3], axis=2)
-                    concated = np.concatenate([c0, concated], axis=0)
-                    save_concated('char', to_image(concated),
-                                  paragraph_id, line_id)
-
-        if mode is Modes.TRAIN_CHAR:
-            save_char()
-            return
-
-        if mode is Modes.TRAIN_ALL:
-            save_monochrome()
-            save_paragraph()
-            save_line()
-            save_char()
-
-    return save_pictures_func
+    return ProgressSnapshots(mode)

@@ -54,7 +54,10 @@ def save_weights(models, path):
     for model in models.values():
         weights.update(model.get_weights())
     tmp = path.with_suffix('.tmp')
-    json.dump(weights, open(tmp, 'w'), separators=(',', ':'))
+    with open(tmp, 'w') as f:
+        json.dump(weights, f, separators=(',', ':'))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
 
 
@@ -84,7 +87,10 @@ def save_optimizer_state(models, weights_path):
         return False
     path = opt_state_path(weights_path)
     tmp = path.with_suffix('.tmp.npz')
-    np.savez(tmp, **flat)
+    with open(tmp, 'wb') as f:
+        np.savez(f, **flat)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     return True
 

@@ -1,53 +1,66 @@
 """Per-layer event timing streamed to the training dashboard.
 
-Same event model and websocket summary schema as the reference
-(progress_tracker.py:5-126): cumulative wall time + invocation counter per
-(layer, event), a handler fired on every start/stop, and decorators for
-methods/functions.  On TPU the timed quantity is *host-side step dispatch
-time* (XLA is async); model steps additionally call `block_until_ready` at
-step boundaries so timings reflect real device work.
+Emits the reference's websocket summary schema (progress_tracker.py:5-126:
+`{layer: [{name, done, started, stopped, time, counter}, ...]}` fired
+through a handler on every start/stop) from a different store: one flat
+``(layer, event) -> _Timing`` dict measured with `time.perf_counter`
+(monotonic; the reference subtracts wall-clock datetimes, which jumps
+under NTP adjustment), materialized into the schema only when a summary
+is requested.  On TPU the timed quantity is *host-side step dispatch
+time* (XLA is async); model steps additionally call `block_until_ready`
+at step boundaries so timings reflect real device work.
 """
 
-from datetime import datetime
+import time
+from datetime import datetime, timedelta
 from functools import wraps
 
 
 class Event:
+    """Cumulative timer for one (layer, event) pair.
+
+    Exposes the reference Event's fields; internally accumulates float
+    seconds from perf_counter, converting to timedelta/datetime only at
+    the schema boundary.
+    """
+
+    __slots__ = ('name', 'done', 'started', 'stopped', 'counter',
+                 '_seconds', '_t0')
+
     def __init__(self, name):
         self.name = name
-        self.done = False
-        self.started = None
-        self.stopped = None
-        self.time = None
-        self.counter = 0
-
-    def start(self):
-        self.done = False
-        self.started = datetime.now()
-
-    def stop(self):
-        self.stopped = datetime.now()
-        time = self.stopped - self.started
-        self.time = time if self.time is None else self.time + time
-        self.done = True
-        self.counter += 1
+        self.reset()
 
     def reset(self):
         self.done = False
         self.started = None
         self.stopped = None
-        self.time = None
         self.counter = 0
+        self._seconds = None
+        self._t0 = None
+
+    def start(self):
+        self.done = False
+        self.started = datetime.now()
+        self._t0 = time.perf_counter()
+
+    def stop(self):
+        elapsed = time.perf_counter() - self._t0
+        self._seconds = elapsed + (self._seconds or 0.0)
+        self.stopped = datetime.now()
+        self.done = True
+        self.counter += 1
+
+    @property
+    def time(self):
+        if self._seconds is None:
+            return None
+        return timedelta(seconds=self._seconds)
 
     def to_dict(self):
-        return {
-            'name': self.name,
-            'done': self.done,
-            'started': self.started,
-            'stopped': self.stopped,
-            'time': self.time,
-            'counter': self.counter,
-        }
+        return {field: getattr(self, field)
+                for field in ('name', 'done', 'started', 'stopped',
+                              'time', 'counter')}
 
 
 class BaseProgressTracker:
@@ -76,29 +89,49 @@ class BaseProgressTracker:
 
 
 class ProgressTracker(BaseProgressTracker):
+    """Tracks (layer, event) timings in a flat dict; every start/stop
+    fires `handler(event_name, summary)` with the full summary so the
+    dashboard repaints its per-layer table live."""
+
     def __init__(self, handler=print):
-        self.layers = {}
         self.handler = handler
+        self._events = {}          # (layer, event_name) -> Event
+        self._layer_order = []     # layers in registration/first-use order
+
+    def _layer_known(self, name):
+        if name not in self._layer_order:
+            self._layer_order.append(name)
 
     def register_layer(self, name):
-        self.layers[name] = {}
+        self._layer_known(name)
+
+    @property
+    def layers(self):
+        """Reference-shaped view: {layer: {event_name: Event}}."""
+        view = {name: {} for name in self._layer_order}
+        for (layer, event_name), event in self._events.items():
+            view[layer][event_name] = event
+        return view
 
     def get_summary(self):
-        return {
-            name: [event.to_dict() for event in layer.values()]
-            for name, layer in self.layers.items()
-        }
+        summary = {name: [] for name in self._layer_order}
+        for (layer, _), event in self._events.items():
+            summary[layer].append(event.to_dict())
+        return summary
+
+    def _event(self, name, event):
+        self._layer_known(name)
+        key = (name, event)
+        if key not in self._events:
+            self._events[key] = Event(event)
+        return self._events[key]
 
     def start_tracking(self, name, event):
-        if name not in self.layers:
-            self.layers[name] = {}
-        if event not in self.layers[name]:
-            self.layers[name][event] = Event(event)
-        self.layers[name][event].start()
+        self._event(name, event).start()
         self.handler(event, self.get_summary())
 
     def stop_tracking(self, name, event):
-        self.layers[name][event].stop()
+        self._event(name, event).stop()
         self.handler(event, self.get_summary())
 
     def message(self, message, data=None):
@@ -106,37 +139,39 @@ class ProgressTracker(BaseProgressTracker):
 
     def reset(self):
         self.handler('reset')
-        for events in self.layers.values():
-            for event in events.values():
-                event.reset()
+        for event in self._events.values():
+            event.reset()
 
 
 def track_method(event):
-    """Wrap a method of an object exposing .progress_tracker and .name."""
+    """Time a method of an object exposing .progress_tracker and .name."""
     def decorator(func):
         @wraps(func)
         def wrapper(self, *args, **kwargs):
-            self.progress_tracker.start_tracking(self.name, event)
-            result = func(self, *args, **kwargs)
-            self.progress_tracker.stop_tracking(self.name, event)
-            return result
+            tracker = self.progress_tracker
+            tracker.start_tracking(self.name, event)
+            try:
+                return func(self, *args, **kwargs)
+            finally:
+                tracker.stop_tracking(self.name, event)
         return wrapper
     return decorator
 
 
 def track_function(name, event, progress_tracker):
-    """Wrap a free function; no-op when tracker is None (reference :112-126)."""
-    if progress_tracker is not None:
-        def decorator(func):
-            @wraps(func)
-            def wrapper(*args, **kwargs):
-                progress_tracker.start_tracking(name, event)
-                result = func(*args, **kwargs)
+    """Time a free function; identity decorator when tracker is None
+    (reference :112-126)."""
+    if progress_tracker is None:
+        return lambda func: func
+    progress_tracker.register_layer(name)
+
+    def decorator(func):
+        @wraps(func)
+        def wrapper(*args, **kwargs):
+            progress_tracker.start_tracking(name, event)
+            try:
+                return func(*args, **kwargs)
+            finally:
                 progress_tracker.stop_tracking(name, event)
-                return result
-            return wrapper
-        progress_tracker.register_layer(name)
-    else:
-        def decorator(func):
-            return func
+        return wrapper
     return decorator
