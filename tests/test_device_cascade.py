@@ -1,0 +1,134 @@
+"""Device-resident cascade gathers vs the host CV they replace.
+
+The bilinear deskew gather must reproduce crop_and_rotate_single_paragraph
+(scipy rotate order=1 on the blob-masked bbox crop, sliced to the rotated
+order-0 mask bbox), and the nearest zoom gather must reproduce
+crop_lines_of_paragraph's bbox crop + rot90 + ndimage.zoom(order=0).
+"""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax
+import jax.numpy as jnp
+
+from univer_ocr_tpu.interpreter.interpreter import (
+    crop_and_rotate_single_paragraph, find_rotation_angle, rotate_array)
+from univer_ocr_tpu.models.device_cascade import (
+    rot90_inverse_affine, rotate_affine, rotated_paragraph_crops,
+    zoom_output_width, zoom_ratio, zoomed_line_crops)
+
+
+def _blob(h, w, seed, angle=0.0):
+    """A filled rotated-rectangle blob inside an (h, w) page region."""
+    mask = np.zeros((h, w), bool)
+    mask[h // 4:3 * h // 4, w // 8:7 * w // 8] = True
+    if angle:
+        mask = ndimage.rotate(mask.astype(float), angle, order=0,
+                              reshape=False) > 0.5
+    return mask
+
+
+def _pack_into(mask, hb, wb):
+    buf = np.zeros((hb, wb), np.uint8)
+    buf[:mask.shape[0], :mask.shape[1]] = mask
+    return np.packbits(buf, axis=1)
+
+
+def host_reference_crop(page, blob_mask):
+    """The exact host path: crop_and_rotate_single_paragraph on one blob."""
+    mask4 = blob_mask[None, :, :, None]
+    return crop_and_rotate_single_paragraph(mask4, [page])[0]
+
+
+def device_equivalent_crop(page, blob_mask, hb, wb):
+    """Host geometry plan + device gather for the same blob."""
+    ys, xs = np.nonzero(blob_mask)
+    y0, y1 = ys.min(), ys.max() + 1
+    x0, x1 = xs.min(), xs.max() + 1
+    h, w = y1 - y0, x1 - x0
+    crop_mask = blob_mask[y0:y1, x0:x1]
+
+    angle = find_rotation_angle(crop_mask[None, :, :, None])
+    (rh, rw), (cos_a, sin_a), (off_y, off_x) = rotate_affine(angle, h, w)
+    rotated_mask = rotate_array(crop_mask[None, :, :, None].astype(float),
+                                angle, good_rotation=False)
+    _, ry, rx, _ = ndimage.find_objects(rotated_mask > 0)[0]
+
+    out_h, out_w = ry.stop - ry.start, rx.stop - rx.start
+    assert out_h <= hb and out_w <= wb, (out_h, out_w)
+
+    crops = jax.jit(rotated_paragraph_crops, static_argnums=())(
+        jnp.asarray(page),
+        jnp.asarray(_pack_into(crop_mask, hb, wb))[None],
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([y0], jnp.int32), jnp.asarray([x0], jnp.int32),
+        jnp.asarray([h], jnp.int32), jnp.asarray([w], jnp.int32),
+        jnp.asarray([cos_a], jnp.float32), jnp.asarray([sin_a], jnp.float32),
+        jnp.asarray([off_y], jnp.float32), jnp.asarray([off_x], jnp.float32),
+        jnp.asarray([ry.start], jnp.int32), jnp.asarray([rx.start], jnp.int32),
+        jnp.asarray([out_h], jnp.int32), jnp.asarray([out_w], jnp.int32))
+    return np.asarray(crops)[0, :, :, 0], (out_h, out_w)
+
+
+@pytest.mark.parametrize('angle', [0.0, 7.0, -12.5, 33.0])
+def test_rotated_paragraph_crop_matches_host(angle):
+    rs = np.random.RandomState(int(abs(angle) * 10) + 1)
+    page = rs.rand(1, 96, 128, 1).astype(np.float32)
+    blob = _blob(96, 128, seed=0, angle=angle)
+
+    expected = host_reference_crop(page, blob)[0, :, :, 0]
+    got, (out_h, out_w) = device_equivalent_crop(page, blob, hb=160, wb=160)
+
+    assert expected.shape == (out_h, out_w)
+    np.testing.assert_allclose(got[:out_h, :out_w], expected,
+                               rtol=0, atol=2e-5)
+    # zero padding outside the valid region
+    assert np.all(got[out_h:] == 0) and np.all(got[:, out_w:] == 0)
+
+
+def test_rotate_affine_matches_scipy_shape():
+    for angle in (3.0, 17.5, 45.0, 88.0, 133.7):
+        for h, w in ((40, 90), (33, 17)):
+            arr = np.zeros((1, h, w, 1))
+            expected = rotate_array(arr, angle).shape
+            (rh, rw), _, _ = rotate_affine(angle, h, w)
+            assert (1, rh, rw, 1) == expected, (angle, h, w)
+
+
+@pytest.mark.parametrize('rotation', [None, 90, 180, 270])
+def test_zoomed_line_crop_matches_host(rotation):
+    rs = np.random.RandomState(3)
+    crop = rs.rand(1, 80, 120, 1).astype(np.float32)
+    ly, lx = slice(10, 34), slice(8, 110)      # line bbox inside the crop
+
+    # host path (crop_lines_of_paragraph internals, pipeline.py:61-77)
+    img = crop[:, ly, lx, :]
+    img = rotate_array(img, rotation)
+    zf = 32.0 / img.shape[1]
+    expected = ndimage.zoom(img, (1, zf, zf, 1), order=0)
+
+    h_pre, w_pre = ly.stop - ly.start, lx.stop - lx.start
+    (lh, lw), (ayy, ayx, by, axy, axx, bx) = rot90_inverse_affine(
+        rotation, h_pre, w_pre)
+    w_out = zoom_output_width(lw, 32.0 / lh)
+    assert expected.shape == (1, 32, w_out, 1)
+
+    wc = 192                               # bucket width >= any w_out here
+    assert w_out <= wc
+    got = jax.jit(zoomed_line_crops, static_argnums=(11, 12))(
+        jnp.asarray(crop), jnp.asarray([0], jnp.int32),
+        jnp.asarray([zoom_ratio(lh, 32)], jnp.float32),
+        jnp.asarray([zoom_ratio(lw, w_out)], jnp.float32),
+        jnp.asarray([w_out], jnp.int32),
+        jnp.asarray([ayy], jnp.int32), jnp.asarray([ayx], jnp.int32),
+        jnp.asarray([by + ly.start], jnp.int32),
+        jnp.asarray([axy], jnp.int32), jnp.asarray([axx], jnp.int32),
+        jnp.asarray([bx + lx.start], jnp.int32),
+        32, wc)
+    got = np.asarray(got)[0, :, :, 0]
+
+    np.testing.assert_allclose(got[:, :w_out], expected[0, :, :, 0],
+                               rtol=0, atol=1e-6)
+    assert np.all(got[:, w_out:] == 0)

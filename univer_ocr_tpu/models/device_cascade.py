@@ -1,0 +1,256 @@
+"""Device-resident cascade: crop, deskew, and zoom as TPU gathers.
+
+The reference pipeline ships the monochrome map to the host between every
+model and does all inter-stage CV there (reference interpreter.py:195-523:
+paragraph crop + ndimage.rotate deskew, line crop + ndimage.zoom).  Over a
+tunneled TPU the D2H of the monochrome map is the dominant cost of the
+whole cascade (BASELINE.md round 1) while the chip sits idle.
+
+This module keeps every image tensor in HBM for the cascade's lifetime.
+The host sees only *bit-packed masks* (paragraph mask, line band masks —
+1/32nd the f32 bytes) and decides geometry; the pixels it used to crop and
+resample on the CPU are instead gathered on device:
+
+  * `rotated_paragraph_crops` — the equivalent of crop + blob-mask +
+    `ndimage.rotate(order=1)` + rotated-bbox slice, as ONE fused bilinear
+    gather from the monochrome page stack.  The output->input affine uses
+    scipy's exact rotate convention (out = ptp(R @ corners) + 0.5; offset =
+    in_center - R @ out_center), computed per sample on the host.
+  * `zoomed_line_crops` — the equivalent of line-bbox crop + `np.rot90`
+    orientation fix + `ndimage.zoom(order=0)` + min-width pad, as one
+    nearest gather from the device-resident paragraph crops (scipy's
+    endpoint-aligned (in-1)/(out-1) zoom mapping, floor(x+0.5) rounding).
+
+Both compose with the masked Line/Char forwards (fastpath.py) into single
+fused programs, so a page makes exactly one H2D trip (the page itself) and
+the per-stage D2H is packed masks and int32 char ids.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import lax
+
+from .fastpath import _mask_hw, line_forward_masked
+
+# ---------------------------------------------------------------------------
+# Host-side geometry (scipy conventions, computed per sample)
+# ---------------------------------------------------------------------------
+
+
+def rotate_affine(angle_deg, in_h, in_w):
+    """Output shape and output->input affine of
+    `scipy.ndimage.rotate(angle, axes=(2, 1), reshape=True)` on an
+    (in_h, in_w) plane: in = R @ out + offset."""
+    if angle_deg is None:
+        return (in_h, in_w), (1.0, 0.0), (0.0, 0.0)
+    rad = np.deg2rad(angle_deg)
+    cos_a, sin_a = float(np.cos(rad)), float(np.sin(rad))
+    rot = np.array([[cos_a, sin_a], [-sin_a, cos_a]])
+    corners = rot @ np.array([[0, 0, in_h, in_h], [0, in_w, 0, in_w]], float)
+    out_shape = (np.ptp(corners, axis=1) + 0.5).astype(int)
+    offset = ((np.array([in_h, in_w]) - 1) / 2.0
+              - rot @ ((out_shape - 1) / 2.0))
+    return ((int(out_shape[0]), int(out_shape[1])),
+            (cos_a, sin_a), (float(offset[0]), float(offset[1])))
+
+
+#: inverse affine of np.rot90(k, axes=(2, 1)) per k on an (h, w) plane:
+#: rotated[yr, xr] == original[ys, xs] with
+#: ys = A[0]*yr + A[1]*xr + A[2](h, w), xs = A[3]*yr + A[4]*xr + A[5](h, w)
+_ROT90_INVERSE = {
+    0: lambda h, w: (1, 0, 0, 0, 1, 0),
+    1: lambda h, w: (0, -1, h - 1, 1, 0, 0),
+    2: lambda h, w: (-1, 0, h - 1, 0, -1, w - 1),
+    3: lambda h, w: (0, 1, 0, -1, 0, w - 1),
+}
+
+
+def rot90_inverse_affine(rotation, h, w):
+    """Inverse index map of `rotate_array(x, rotation)` for right-angle
+    rotations (np.rot90 with k = (4 - rotation//90) % 4).  Returns the
+    rotated shape and the 6 affine coefficients."""
+    k = 0 if rotation is None else (4 - int(rotation) // 90) % 4
+    out_shape = (h, w) if k % 2 == 0 else (w, h)
+    return out_shape, _ROT90_INVERSE[k](h, w)
+
+
+def zoom_output_width(w, zoom):
+    """scipy.ndimage.zoom output length for one axis."""
+    return int(round(w * zoom))
+
+
+def zoom_ratio(in_len, out_len):
+    """scipy's endpoint-aligned coordinate ratio (grid_mode=False)."""
+    if out_len <= 1:
+        return 0.0
+    return (in_len - 1) / (out_len - 1)
+
+
+# ---------------------------------------------------------------------------
+# Device gathers
+# ---------------------------------------------------------------------------
+
+
+def rotated_paragraph_crops(mono_stack, blob_bits, page_idx,
+                            src_y0, src_x0, src_h, src_w,
+                            cos_a, sin_a, off_y, off_x,
+                            out_y0, out_x0, out_h, out_w):
+    """Deskewed, blob-masked paragraph crops as one bilinear gather.
+
+    Equivalent to crop_and_rotate_single_paragraph (interpreter.py) on the
+    monochrome map: (mono * blob)[bbox] rotated by the deskew angle and
+    sliced to the rotated-mask bbox — but computed as a gather from the
+    device-resident page stack, zero-padded into a static (B, HB, WB, 1)
+    bucket.
+
+    mono_stack : (N, H, W, 1) f32 monochrome predictions (device).
+    blob_bits  : (B, HB, WB//8) uint8 — paragraph blob mask of each
+                 sample's bbox, bit-packed along width, zero-padded.
+    page_idx   : (B,) int32 page of each paragraph.
+    src_*      : (B,) int32 paragraph bbox (y0, x0, h, w) in page coords.
+    cos/sin/off: (B,) f32 scipy rotate affine (out -> in, bbox-local).
+    out_y0/x0  : (B,) int32 rotated-mask bbox offset in the rotated grid.
+    out_h/out_w: (B,) int32 rotated-mask bbox extent — output is zeroed
+                 beyond it (the host path's bbox slice; bilinear support
+                 can bleed one pixel past the order-0 mask bbox).
+    """
+    B, HB = blob_bits.shape[0], blob_bits.shape[1]
+    WB = blob_bits.shape[2] * 8
+    blob = jnp.unpackbits(blob_bits, axis=2).astype(jnp.float32)  # (B,HB,WB)
+
+    def col(v, dtype=jnp.float32):
+        return jnp.asarray(v, dtype).reshape(B, 1, 1)
+
+    grid_y = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 1)
+              + col(out_y0))
+    grid_x = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 2)
+              + col(out_x0))
+    cos_c, sin_c = col(cos_a), col(sin_a)
+    in_y = cos_c * grid_y + sin_c * grid_x + col(off_y)
+    in_x = -sin_c * grid_y + cos_c * grid_x + col(off_x)
+
+    y_floor = jnp.floor(in_y)
+    x_floor = jnp.floor(in_x)
+    wy = in_y - y_floor
+    wx = in_x - x_floor
+    y_base = y_floor.astype(jnp.int32)
+    x_base = x_floor.astype(jnp.int32)
+
+    pages = mono_stack[:, :, :, 0]
+    page_h, page_w = pages.shape[1], pages.shape[2]
+    b_idx = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 0)
+    page = page_idx.reshape(B, 1, 1).astype(jnp.int32)
+    sy0, sx0 = (col(src_y0, jnp.int32), col(src_x0, jnp.int32))
+    sh, sw = (col(src_h, jnp.int32), col(src_w, jnp.int32))
+
+    # scipy mode='constant': a coordinate anywhere outside [0, size-1] is
+    # entirely cval (no partial edge interpolation)
+    sh_f, sw_f = col(src_h), col(src_w)
+    in_domain = ((in_y >= 0) & (in_y <= sh_f - 1)
+                 & (in_x >= 0) & (in_x <= sw_f - 1))
+
+    def corner(dy, dx):
+        # in-domain coords have all four corners within [0, size-1] after
+        # clamping (the +1 corner only exceeds it with zero weight)
+        yy = jnp.minimum(y_base + dy, sh - 1)
+        xx = jnp.minimum(x_base + dx, sw - 1)
+        yy = jnp.maximum(yy, 0)
+        xx = jnp.maximum(xx, 0)
+        yb = jnp.clip(yy, 0, HB - 1)
+        xb = jnp.clip(xx, 0, WB - 1)
+        yp = jnp.clip(sy0 + yy, 0, page_h - 1)
+        xp = jnp.clip(sx0 + xx, 0, page_w - 1)
+        return pages[page, yp, xp] * blob[b_idx, yb, xb]
+
+    top = corner(0, 0) * (1 - wx) + corner(0, 1) * wx
+    bottom = corner(1, 0) * (1 - wx) + corner(1, 1) * wx
+    value = top * (1 - wy) + bottom * wy
+
+    out_rows = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 1)
+    out_cols = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 2)
+    in_slice = ((out_rows < col(out_h, jnp.int32))
+                & (out_cols < col(out_w, jnp.int32)))
+    return jnp.where(in_domain & in_slice, value, 0.0)[..., None]
+
+
+def zoomed_line_crops(crop_stack, para_idx,
+                      ratio_y, ratio_x, w_out,
+                      a_yy, a_yx, b_y, a_xy, a_xx, b_x,
+                      out_h, out_w):
+    """Zoomed line crops as one nearest gather from the paragraph crops.
+
+    Equivalent to crop_lines_of_paragraph's per-line bbox crop + rot90
+    orientation fix + ndimage.zoom(order=0) + zero min-width pad
+    (pipeline.py) — composed into a single integer index map evaluated on
+    device.  Output is (Bl, out_h, out_w, 1) with columns >= w_out zeroed.
+
+    crop_stack : (P, HB, WB, 1) f32 rotated paragraph crops (device).
+    para_idx   : (Bl,) int32 source crop of each line.
+    ratio_y/x  : (Bl,) f32 scipy zoom coordinate ratios per axis.
+    w_out      : (Bl,) int32 true zoomed width of each line.
+    a_*/b_*    : (Bl,) int32 rot90-inverse affine composed with the line
+                 bbox offset (maps post-rot90 coords to crop coords).
+    out_h/out_w: static output bucket dims (32, width-menu entry).
+    """
+    Bl = para_idx.shape[0]
+    shape = (Bl, out_h, out_w)
+
+    def col(v, dtype):
+        return jnp.asarray(v, dtype).reshape(Bl, 1, 1)
+
+    grid_y = lax.broadcasted_iota(jnp.float32, shape, 1)
+    grid_x = lax.broadcasted_iota(jnp.float32, shape, 2)
+    # scipy zoom: in = out * ratio, spline order 0 rounds via floor(x+0.5)
+    yr = jnp.floor(grid_y * col(ratio_y, jnp.float32) + 0.5).astype(jnp.int32)
+    xr = jnp.floor(grid_x * col(ratio_x, jnp.float32) + 0.5).astype(jnp.int32)
+
+    ys = (col(a_yy, jnp.int32) * yr + col(a_yx, jnp.int32) * xr
+          + col(b_y, jnp.int32))
+    xs = (col(a_xy, jnp.int32) * yr + col(a_xx, jnp.int32) * xr
+          + col(b_x, jnp.int32))
+
+    HB, WB = crop_stack.shape[1], crop_stack.shape[2]
+    ys = jnp.clip(ys, 0, HB - 1)
+    xs = jnp.clip(xs, 0, WB - 1)
+    values = crop_stack[para_idx.reshape(Bl, 1, 1).astype(jnp.int32),
+                        ys, xs, 0]
+    cols = lax.broadcasted_iota(jnp.int32, shape, 2)
+    values = jnp.where(cols < col(w_out, jnp.int32), values, 0.0)
+    return values[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Fused stage programs
+# ---------------------------------------------------------------------------
+
+
+def paragraph_stage(params, mono_stack, blob_bits, page_idx,
+                    src_y0, src_x0, src_h, src_w,
+                    cos_a, sin_a, off_y, off_x, out_y0, out_x0,
+                    out_h, out_w, h_valid, w_valid):
+    """Fused: deskew-gather the paragraph crops, run the masked Line FCN,
+    threshold the band maps over each sample's valid region (the
+    arr > 0.5*(mean+max) rule of interpreter.py:437-438), bit-pack.
+
+    Returns (crops, packed_bands): crops stay device-resident for the line
+    stage; packed_bands (B, HV?, WB//8, 2) uint8 ship to the host.
+    """
+    crops = rotated_paragraph_crops(
+        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w)
+
+    pred = line_forward_masked(params, crops, h_valid, w_valid,
+                               prefix='Line')
+    pred = _mask_hw(pred, h_valid, w_valid)
+    hv = h_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
+    wv = w_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
+    rows = lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+    cols = lax.broadcasted_iota(jnp.int32, pred.shape, 2)
+    valid = ((rows < h_valid.reshape(-1, 1, 1, 1))
+             & (cols < w_valid.reshape(-1, 1, 1, 1)))
+    mean = jnp.sum(pred, axis=(1, 2), keepdims=True) / (hv * wv)
+    peak = jnp.max(pred, axis=(1, 2), keepdims=True)
+    bands = (pred > 0.5 * (mean + peak)) & valid
+    packed = jnp.packbits(bands.astype(jnp.uint8), axis=2)
+    return crops, packed
