@@ -68,7 +68,8 @@ def device_equivalent_crop(page, blob_mask, hb, wb):
         jnp.asarray([cos_a], jnp.float32), jnp.asarray([sin_a], jnp.float32),
         jnp.asarray([off_y], jnp.float32), jnp.asarray([off_x], jnp.float32),
         jnp.asarray([ry.start], jnp.int32), jnp.asarray([rx.start], jnp.int32),
-        jnp.asarray([out_h], jnp.int32), jnp.asarray([out_w], jnp.int32))
+        jnp.asarray([out_h], jnp.int32), jnp.asarray([out_w], jnp.int32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([0], jnp.int32))
     return np.asarray(crops)[0, :, :, 0], (out_h, out_w)
 
 

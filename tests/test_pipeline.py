@@ -65,6 +65,35 @@ def test_pipeline_pallas_front_matches(pages):
                   - np.asarray(m_b).astype(int)).max() <= 1
 
 
+def test_device_cascade_matches_host_pipeline(pages):
+    """device_cascade=True (monochrome map + crops stay in HBM, crop/
+    deskew/zoom as gathers) must decode the same text as the host-CV
+    pipeline on the trained checkpoint."""
+    import json
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+
+    host = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                       quantized_transfers=False)
+    device = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                         device_cascade=True)
+    expected = host.ocr_pages(pages)
+    got = device.ocr_pages(pages)
+    assert got == expected
+
+
+def test_device_cascade_handles_empty_detections():
+    pipeline = OCRPipeline(PAGE_SHAPE, weights=None, chunk=2, workers=2,
+                           device_cascade=True)
+    blank = np.ones(PAGE_SHAPE, np.float32)
+    results = pipeline.ocr_pages([blank])
+    assert len(results) == 1
+    assert isinstance(results[0], list)
+
+
 def test_device_line_thresholding_matches_host():
     """The quantized path's device-side threshold must equal host
     thresholding of the trimmed prediction — including for a SMALL crop

@@ -95,7 +95,8 @@ def zoom_ratio(in_len, out_len):
 def rotated_paragraph_crops(mono_stack, blob_bits, page_idx,
                             src_y0, src_x0, src_h, src_w,
                             cos_a, sin_a, off_y, off_x,
-                            out_y0, out_x0, out_h, out_w):
+                            out_y0, out_x0, out_h, out_w,
+                            pad_y, pad_x):
     """Deskewed, blob-masked paragraph crops as one bilinear gather.
 
     Equivalent to crop_and_rotate_single_paragraph (interpreter.py) on the
@@ -114,6 +115,10 @@ def rotated_paragraph_crops(mono_stack, blob_bits, page_idx,
     out_h/out_w: (B,) int32 rotated-mask bbox extent — output is zeroed
                  beyond it (the host path's bbox slice; bilinear support
                  can bleed one pixel past the order-0 mask bbox).
+    pad_y/pad_x: (B,) int32 placement offset of the content inside the
+                 bucket, replicating make_divisible_by's CENTER padding
+                 (model.py:57-69) — the stride-2 Line convs are phase
+                 sensitive, so the placement must match the host path.
     """
     B, HB = blob_bits.shape[0], blob_bits.shape[1]
     WB = blob_bits.shape[2] * 8
@@ -123,9 +128,9 @@ def rotated_paragraph_crops(mono_stack, blob_bits, page_idx,
         return jnp.asarray(v, dtype).reshape(B, 1, 1)
 
     grid_y = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 1)
-              + col(out_y0))
+              + col(out_y0) - col(pad_y))
     grid_x = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 2)
-              + col(out_x0))
+              + col(out_x0) - col(pad_x))
     cos_c, sin_c = col(cos_a), col(sin_a)
     in_y = cos_c * grid_y + sin_c * grid_x + col(off_y)
     in_x = -sin_c * grid_y + cos_c * grid_x + col(off_x)
@@ -169,8 +174,9 @@ def rotated_paragraph_crops(mono_stack, blob_bits, page_idx,
 
     out_rows = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 1)
     out_cols = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 2)
-    in_slice = ((out_rows < col(out_h, jnp.int32))
-                & (out_cols < col(out_w, jnp.int32)))
+    py, px = col(pad_y, jnp.int32), col(pad_x, jnp.int32)
+    in_slice = ((out_rows >= py) & (out_rows < py + col(out_h, jnp.int32))
+                & (out_cols >= px) & (out_cols < px + col(out_w, jnp.int32)))
     return jnp.where(in_domain & in_slice, value, 0.0)[..., None]
 
 
@@ -228,7 +234,7 @@ def zoomed_line_crops(crop_stack, para_idx,
 def paragraph_stage(params, mono_stack, blob_bits, page_idx,
                     src_y0, src_x0, src_h, src_w,
                     cos_a, sin_a, off_y, off_x, out_y0, out_x0,
-                    out_h, out_w, h_valid, w_valid):
+                    out_h, out_w, pad_y, pad_x, h_valid, w_valid):
     """Fused: deskew-gather the paragraph crops, run the masked Line FCN,
     threshold the band maps over each sample's valid region (the
     arr > 0.5*(mean+max) rule of interpreter.py:437-438), bit-pack.
@@ -238,7 +244,8 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
     """
     crops = rotated_paragraph_crops(
         mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
-        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w)
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
+        pad_y, pad_x)
 
     pred = line_forward_masked(params, crops, h_valid, w_valid,
                                prefix='Line')

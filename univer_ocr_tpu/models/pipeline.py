@@ -31,9 +31,13 @@ import jax.numpy as jnp
 from scipy import ndimage
 
 from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
-                                       label_layer, pred_ids_to_text,
-                                       rearrange_lines, rotate_array)
+                                       find_rotation_angle, label_layer,
+                                       pred_ids_to_text, rearrange_lines,
+                                       rotate_array)
 from .bucketing import round_up
+from .device_cascade import (paragraph_stage, rot90_inverse_affine,
+                             rotate_affine, zoom_output_width, zoom_ratio,
+                             zoomed_line_crops)
 from .fastpath import (_mask_hw, char_forward_masked, line_forward_masked,
                        monochrome_forward)
 from .model import (CHAR_FIXED_WIDTH, CHAR_INPUT_HEIGHT, make_char,
@@ -88,13 +92,15 @@ class OCRPipeline:
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
-                 quantized_transfers=True, mesh=None, use_pallas=False):
+                 quantized_transfers=True, mesh=None, use_pallas=False,
+                 device_cascade=False):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
         self.char_bucket = char_bucket
         self.collapse_runs = collapse_runs
         self.quantized_transfers = quantized_transfers
+        self.device_cascade = device_cascade
         # paragraph crops pad to a tiny menu of canonical shapes: program
         # count is the scarce resource (a remote compile is minutes), but
         # most paragraphs are far smaller than a page, so a 3-entry menu
@@ -209,6 +215,33 @@ class OCRPipeline:
             return ids, valid
 
         self._char_fn = jax.jit(char_ids)
+
+        # --- device-resident cascade programs (device_cascade=True) ------
+        # front: monochrome map STAYS in HBM; only the bit-packed
+        # paragraph mask ships to host (1/32nd the f32 bytes)
+        def front_resident(params, batch_u8):
+            x = batch_u8.astype(jnp.float32) / 255.0
+            m = mono_fwd(params, x)
+            p = para_forward(params, [m])[0]
+            mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
+            p_mask = (p > mean).astype(jnp.uint8)
+            return m, jnp.packbits(p_mask, axis=2)
+
+        self._front_resident = jax.jit(front_resident)
+        self._paragraph_stage = jax.jit(paragraph_stage)
+
+        def line_stage(params, crop_stack, para_idx, ratio_y, ratio_x,
+                       w_out, a_yy, a_yx, b_y, a_xy, a_xx, b_x, w_valid,
+                       out_h, out_w):
+            lines = zoomed_line_crops(
+                crop_stack, para_idx, ratio_y, ratio_x, w_out,
+                a_yy, a_yx, b_y, a_xy, a_xx, b_x, out_h, out_w)
+            logits = char_forward_masked(params, lines, w_valid)
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            valid = jnp.max(logits, axis=-1) != 0.0
+            return ids, valid
+
+        self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     # ------------------------------------------------------------------
@@ -323,9 +356,235 @@ class OCRPipeline:
                 preds[i] = (ids[bi, :w], valid[bi, :w])
         return preds
 
+    # ------------------------------------------------------------------
+    # Device-resident cascade (device_cascade=True): the monochrome map
+    # and every paragraph/line crop live in HBM for the whole cascade;
+    # the host only sees bit-packed masks and plans gather geometry.
+    # ------------------------------------------------------------------
+
+    def _page_paragraph_plans(self, page_idx, para2d):
+        """Label one page's paragraph mask and plan each blob's deskew
+        gather (bbox, scipy rotate affine, rotated-mask bbox, menu shape,
+        packed blob)."""
+        from .. import native as _native
+        if _native.available():
+            labels, count = _native.label(para2d > 0)
+        else:
+            labels, count = ndimage.label(para2d > 0)
+        plans = []
+        for label_id, sl in enumerate(ndimage.find_objects(labels), start=1):
+            if sl is None:
+                continue
+            blob = labels[sl] == label_id
+            h, w = blob.shape
+            angle = find_rotation_angle(blob[None, :, :, None])
+            if angle is None:
+                (cos_a, sin_a), off = (1.0, 0.0), (0.0, 0.0)
+                ry0 = rx0 = 0
+                out_h, out_w = h, w
+            else:
+                _, (cos_a, sin_a), off = rotate_affine(angle, h, w)
+                rot0 = rotate_array(blob[None, :, :, None], angle,
+                                    good_rotation=False)
+                _, ry, rx, _ = ndimage.find_objects(rot0)[0]
+                ry0, rx0 = ry.start, rx.start
+                out_h, out_w = ry.stop - ry.start, rx.stop - rx.start
+            # make_divisible_by semantics (model.py:57-69): CENTER pad,
+            # always adding at least one row/column — the Line model's
+            # stride-2 convs are phase sensitive, so placement must match
+            # the host path exactly
+            pad_h, pad_w = 16 - out_h % 16, 16 - out_w % 16
+            hv, wv = out_h + pad_h, out_w + pad_w
+            py, px = pad_h // 2, pad_w // 2
+            hb, wb = self._line_menu_shape(max(h, hv), max(w, wv))
+            # pathological rotations can exceed the page-sized menu (bbox
+            # of a rotated page-diagonal paragraph); clamp rather than
+            # compile a diagonal-sized program for a case the generator
+            # never produces
+            out_h, hv = min(out_h, hb), min(hv, hb)
+            out_w, wv = min(out_w, wb), min(wv, wb)
+            blob_packed = np.zeros((hb, wb // 8), np.uint8)
+            packed = np.packbits(blob[:hb, :wb], axis=1)
+            blob_packed[:packed.shape[0], :packed.shape[1]] = packed
+            plans.append({
+                'page': page_idx, 'y0': sl[0].start, 'x0': sl[1].start,
+                'h': h, 'w': w, 'cos': cos_a, 'sin': sin_a,
+                'off_y': off[0], 'off_x': off[1], 'ry0': ry0, 'rx0': rx0,
+                'out_h': out_h, 'out_w': out_w, 'py': py, 'px': px,
+                'hv': hv, 'wv': wv,
+                'menu': (hb, wb), 'blob': blob_packed,
+            })
+        return plans
+
+    def _dispatch_paragraph_stage(self, mono_dev, plans):
+        """Launch the fused deskew-gather + Line programs for all plans.
+        Returns [(plan_indices, crops_dev, packed_bands_dev)] with crops
+        left on device for the line stage."""
+        groups = {}
+        for i, plan in enumerate(plans):
+            groups.setdefault(plan['menu'], []).append(i)
+        B = self.DEVICE_BATCH
+        params = self.line_model.params
+        launches = []
+        for (hb, wb), idxs in groups.items():
+            for start in range(0, len(idxs), B):
+                sel = idxs[start:start + B]
+                blob = np.zeros((B, hb, wb // 8), np.uint8)
+                ints = {k: np.full((B,), 4, np.int32)
+                        for k in ('y0', 'x0', 'h', 'w', 'ry0', 'rx0',
+                                  'out_h', 'out_w', 'py', 'px',
+                                  'hv', 'wv')}
+                ints['page'] = np.zeros((B,), np.int32)
+                for k in ('ry0', 'rx0', 'py', 'px'):
+                    ints[k][:] = 0
+                floats = {'cos': np.ones((B,), np.float32),
+                          'sin': np.zeros((B,), np.float32),
+                          'off_y': np.zeros((B,), np.float32),
+                          'off_x': np.zeros((B,), np.float32)}
+                for bi, i in enumerate(sel):
+                    plan = plans[i]
+                    blob[bi] = plan['blob']
+                    for k in ints:
+                        ints[k][bi] = plan[k]
+                    for k in floats:
+                        floats[k][bi] = plan[k]
+                crops, packed = self._paragraph_stage(
+                    params, mono_dev, jnp.asarray(blob),
+                    jnp.asarray(ints['page']),
+                    jnp.asarray(ints['y0']), jnp.asarray(ints['x0']),
+                    jnp.asarray(ints['h']), jnp.asarray(ints['w']),
+                    jnp.asarray(floats['cos']), jnp.asarray(floats['sin']),
+                    jnp.asarray(floats['off_y']), jnp.asarray(floats['off_x']),
+                    jnp.asarray(ints['ry0']), jnp.asarray(ints['rx0']),
+                    jnp.asarray(ints['out_h']), jnp.asarray(ints['out_w']),
+                    jnp.asarray(ints['py']), jnp.asarray(ints['px']),
+                    jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
+                launches.append((sel, crops, packed))
+        return launches
+
+    def _plan_lines(self, bands):
+        """Line gather plans from one paragraph's thresholded band masks
+        (the geometry half of crop_lines_of_paragraph)."""
+        tops, bottoms, rotation = rearrange_lines(
+            label_layer(bands[None, :, :, 0:1]),
+            label_layer(bands[None, :, :, 1:2]))
+        line_plans = []
+        for top_mask, bottom_mask in zip(tops, bottoms):
+            _, ty, tx, _ = ndimage.find_objects(top_mask)[0]
+            _, by_, bx_, _ = ndimage.find_objects(bottom_mask)[0]
+            y = slice(min(ty.start, by_.start), max(ty.stop, by_.stop))
+            x = slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))
+            h_l, w_l = y.stop - y.start, x.stop - x.start
+            (lh, lw), (a_yy, a_yx, b_y, a_xy, a_xx, b_x) = (
+                rot90_inverse_affine(rotation, h_l, w_l))
+            zf = CHAR_INPUT_HEIGHT / lh
+            w_out = zoom_output_width(lw, zf)
+            line_plans.append({
+                'ratio_y': zoom_ratio(lh, CHAR_INPUT_HEIGHT),
+                'ratio_x': zoom_ratio(lw, w_out),
+                'w_out': w_out,
+                'a_yy': a_yy, 'a_yx': a_yx, 'b_y': b_y + y.start,
+                'a_xy': a_xy, 'a_xx': a_xx, 'b_x': b_x + x.start,
+                'w_valid': max(w_out, CHAR_FIXED_WIDTH),
+            })
+        return line_plans
+
+    def _dispatch_line_stage(self, crops_dev, line_plans):
+        """Launch the fused zoom-gather + Char programs for all lines of
+        one paragraph-stage launch.  line_plans: [(slot, plan)].
+        Returns [(plan_refs, ids_dev, valid_dev)]."""
+        groups = {}
+        for ref, (slot, plan) in enumerate(line_plans):
+            wc = self._menu_width(plan['w_valid'])
+            groups.setdefault(wc, []).append(ref)
+        B = self.DEVICE_BATCH
+        params = self.char_model.params
+        launches = []
+        keys_i = ('w_out', 'a_yy', 'a_yx', 'b_y', 'a_xy', 'a_xx', 'b_x',
+                  'w_valid')
+        for wc, refs in groups.items():
+            for start in range(0, len(refs), B):
+                sel = refs[start:start + B]
+                para_idx = np.zeros((B,), np.int32)
+                floats = {k: np.zeros((B,), np.float32)
+                          for k in ('ratio_y', 'ratio_x')}
+                ints = {k: np.zeros((B,), np.int32) for k in keys_i}
+                ints['w_valid'][:] = CHAR_FIXED_WIDTH
+                for bi, ref in enumerate(sel):
+                    slot, plan = line_plans[ref]
+                    para_idx[bi] = slot
+                    for k in floats:
+                        floats[k][bi] = plan[k]
+                    for k in ints:
+                        ints[k][bi] = plan[k]
+                ids, valid = self._line_stage(
+                    params, crops_dev, jnp.asarray(para_idx),
+                    jnp.asarray(floats['ratio_y']),
+                    jnp.asarray(floats['ratio_x']),
+                    jnp.asarray(ints['w_out']),
+                    jnp.asarray(ints['a_yy']), jnp.asarray(ints['a_yx']),
+                    jnp.asarray(ints['b_y']), jnp.asarray(ints['a_xy']),
+                    jnp.asarray(ints['a_xx']), jnp.asarray(ints['b_x']),
+                    jnp.asarray(ints['w_valid']),
+                    CHAR_INPUT_HEIGHT, wc)
+                launches.append((sel, ids, valid))
+        return launches
+
+    def _ocr_chunk_device(self, n_pages, mono_dev, para_bits):
+        """One chunk, device-resident: host work is CCL + geometry over
+        bit-packed masks; every pixel transform is a device gather."""
+        para = np.unpackbits(para_bits, axis=2)
+        para = para[:, :, :self.page_shape[2], 0]
+
+        plans = [p
+                 for page in range(n_pages)
+                 for p in self._page_paragraph_plans(page, para[page])]
+
+        launches = self._dispatch_paragraph_stage(mono_dev, plans)
+
+        # host: band geometry per paragraph (threaded), then dispatch all
+        # char launches before pulling any result
+        texts = {}                      # plan index -> [line text]
+        char_launches = []
+        for sel, crops_dev, packed_dev in launches:
+            packed = np.asarray(packed_dev)
+            bands = np.unpackbits(packed, axis=2)
+
+            def plan_slot(bi):
+                plan = plans[sel[bi]]
+                view = bands[bi, :plan['hv'], :plan['wv'], :]
+                return [(bi, lp) for lp in self._plan_lines(view)]
+
+            per_slot = list(self._pool.map(plan_slot, range(len(sel))))
+            flat = [item for slot_plans in per_slot for item in slot_plans]
+            refs = self._dispatch_line_stage(crops_dev, flat)
+            char_launches.append((sel, flat, refs))
+
+        results = [[] for _ in range(n_pages)]
+        for sel, flat, refs in char_launches:
+            line_texts = [None] * len(flat)
+            for ref_sel, ids_dev, valid_dev in refs:
+                ids = np.asarray(ids_dev)
+                valid = np.asarray(valid_dev)
+                for bi, ref in enumerate(ref_sel):
+                    w = flat[ref][1]['w_valid']
+                    line_texts[ref] = pred_ids_to_text(
+                        ids[bi, :w], valid[bi, :w], self.collapse_runs)
+            cursor = 0
+            for bi, i in enumerate(sel):
+                n_lines = sum(1 for slot, _ in flat if slot == bi)
+                texts[i] = line_texts[cursor:cursor + n_lines]
+                cursor += n_lines
+
+        for i, plan in enumerate(plans):
+            results[plan['page']].append(texts.get(i, []))
+        return results
+
     def warmup(self):
         """Compile the whole program menu with dummy data (cached
         persistently; later runs start hot)."""
+        if self.device_cascade:
+            return self._warmup_device()
         self.ocr_pages([np.zeros(self.page_shape, np.float32)])
         for hb, wb in self.line_shape_menu:
             self._run_line_batched([np.zeros((1, hb, wb, 1), np.float32)])
@@ -333,11 +592,42 @@ class OCRPipeline:
             self._run_char_batched(
                 [np.zeros((1, CHAR_INPUT_HEIGHT, w, 1), np.float32)])
 
+    def _warmup_device(self):
+        """Compile the device-cascade program menu: the resident front at
+        full chunk batch, one paragraph-stage program per crop-menu shape,
+        and one line-stage program per (crop menu, char width) pair."""
+        H, W = self.page_shape[1], self.page_shape[2]
+        self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
+        mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
+        for hb, wb in self.line_shape_menu:
+            h, w = min(hb, H) - 8, min(wb, W) - 8
+            blob = np.zeros((hb, wb // 8), np.uint8)
+            blob[:h, :w // 8] = 0xFF
+            plan = {'page': 0, 'y0': 0, 'x0': 0, 'h': h, 'w': w,
+                    'cos': 1.0, 'sin': 0.0, 'off_y': 0.0, 'off_x': 0.0,
+                    'ry0': 0, 'rx0': 0, 'out_h': h, 'out_w': w,
+                    'py': 0, 'px': 0,
+                    'hv': round_up(h, 16), 'wv': round_up(w, 16),
+                    'menu': (hb, wb), 'blob': blob}
+            (_, crops_dev, _), = self._dispatch_paragraph_stage(
+                mono_dev, [plan])
+            for wc in self.CHAR_WIDTH_MENU:
+                line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0, 'w_out': wc,
+                             'a_yy': 1, 'a_yx': 0, 'b_y': 0,
+                             'a_xy': 0, 'a_xx': 1, 'b_x': 0,
+                             'w_valid': wc}
+                for _, ids, valid in self._dispatch_line_stage(
+                        crops_dev, [(0, line_plan)]):
+                    ids.block_until_ready()
+
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
         Returns per page: [paragraph][line] -> decoded text."""
         # Dispatch the front-end for every chunk up front: XLA execution is
         # async, so chunk i+1's device work overlaps chunk i's host CV.
+        front_fn = (self._front_resident if self.device_cascade
+                    else self._front)
+        front_params = self.front_params
         fronts = []
         for start in range(0, len(pages), self.chunk):
             chunk = pages[start:start + self.chunk]
@@ -346,7 +636,22 @@ class OCRPipeline:
                 if np.asarray(p).dtype != np.uint8 else np.asarray(p)
                 for p in chunk])
             fronts.append(
-                (chunk, self._front(self.front_params, jnp.asarray(batch))))
+                (chunk, front_fn(front_params, jnp.asarray(batch))))
+
+        if self.device_cascade:
+            results = []
+            # pull only the packed paragraph masks; monochrome maps stay
+            # in HBM and feed the paragraph-stage gathers
+            pulled = (self._pool.submit(np.asarray, fronts[0][1][1])
+                      if fronts else None)
+            for i, (chunk, (mono_dev, _)) in enumerate(fronts):
+                para_bits = pulled.result()
+                if i + 1 < len(fronts):
+                    pulled = self._pool.submit(np.asarray,
+                                               fronts[i + 1][1][1])
+                results.extend(self._ocr_chunk_device(
+                    len(chunk), mono_dev, para_bits))
+            return results
 
         # Prefetch D2H on a side thread so chunk i+1's transfer overlaps
         # chunk i's host CV (the tunnel's D2H is the scarce resource).
