@@ -61,7 +61,12 @@ def main(n_pages=32, warmup=2):
         log('WARNING: no model_weights.json — random weights')
 
     from univer_ocr_tpu.models.pipeline import OCRPipeline
-    pipeline = OCRPipeline(page_shape, weights=weights, chunk=8, workers=8)
+    device_cascade = '--host-cascade' not in sys.argv
+    precision = 'highest' if '--f32' in sys.argv else 'bf16'
+    log('device_cascade:', device_cascade, 'precision:', precision)
+    pipeline = OCRPipeline(page_shape, weights=weights, chunk=8, workers=8,
+                           device_cascade=device_cascade,
+                           precision=precision)
 
     # ---- warmup (compiles the fixed program menu; persistently cached) ---
     log('warmup...')

@@ -133,3 +133,71 @@ def test_zoomed_line_crop_matches_host(rotation):
     np.testing.assert_allclose(got[:, :w_out], expected[0, :, :, 0],
                                rtol=0, atol=1e-6)
     assert np.all(got[:, w_out:] == 0)
+
+
+@pytest.mark.parametrize('rotation', [None, 90, 180, 270])
+def test_zoomed_line_crops_matmul_matches_gather(rotation):
+    """The one-hot matmul sampler (the TPU fast path) must equal the
+    generic gather for every rot90 parity."""
+    from univer_ocr_tpu.models.device_cascade import zoomed_line_crops_matmul
+    rs = np.random.RandomState(5)
+    crop = rs.rand(2, 64, 96, 1).astype(np.float32)
+    ly, lx = slice(6, 30), slice(4, 90)
+    h_pre, w_pre = ly.stop - ly.start, lx.stop - lx.start
+    (lh, lw), (ayy, ayx, by, axy, axx, bx) = rot90_inverse_affine(
+        rotation, h_pre, w_pre)
+    w_out = zoom_output_width(lw, 32.0 / lh)
+    wc = 192
+    args = (jnp.asarray(crop), jnp.asarray([1], jnp.int32),
+            jnp.asarray([zoom_ratio(lh, 32)], jnp.float32),
+            jnp.asarray([zoom_ratio(lw, w_out)], jnp.float32),
+            jnp.asarray([w_out], jnp.int32),
+            jnp.asarray([ayy], jnp.int32), jnp.asarray([ayx], jnp.int32),
+            jnp.asarray([by + ly.start], jnp.int32),
+            jnp.asarray([axy], jnp.int32), jnp.asarray([axx], jnp.int32),
+            jnp.asarray([bx + lx.start], jnp.int32),
+            32, wc)
+    gather = np.asarray(zoomed_line_crops(*args))
+    matmul = np.asarray(zoomed_line_crops_matmul(*args,
+                                                 precision='highest'))
+    np.testing.assert_allclose(matmul, gather, rtol=0, atol=1e-6)
+
+
+def test_level_paragraph_crops_match_gather():
+    """The dynamic-slice crop (level paragraphs) must equal the bilinear
+    gather at the identity affine, including the center-pad placement."""
+    from univer_ocr_tpu.models.device_cascade import level_paragraph_crops
+    rs = np.random.RandomState(9)
+    pages = rs.rand(2, 64, 96, 1).astype(np.float32)
+    blob = np.zeros((64, 96), bool)
+    blob[10:40, 8:80] = True            # bbox (10:40, 8:80), h=30, w=72
+    y0, x0, h, w = 10, 8, 30, 72
+    py, px = 3, 5
+    hb, wb = 48, 96
+
+    # gather path: blob at (0, 0) bbox-local
+    blob_gather = np.zeros((hb, wb), bool)
+    blob_gather[:h, :w] = blob[y0:y0 + h, x0:x0 + w]
+    ref = np.asarray(rotated_paragraph_crops(
+        jnp.asarray(pages), jnp.asarray(np.packbits(blob_gather, axis=1))[None],
+        jnp.asarray([1], jnp.int32),
+        jnp.asarray([y0], jnp.int32), jnp.asarray([x0], jnp.int32),
+        jnp.asarray([h], jnp.int32), jnp.asarray([w], jnp.int32),
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0.0], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([h], jnp.int32), jnp.asarray([w], jnp.int32),
+        jnp.asarray([py], jnp.int32), jnp.asarray([px], jnp.int32)))
+
+    # slice path: padded stack + blob pre-aligned at (py, px)
+    pad = 16
+    padded = np.pad(pages, ((0, 0), (pad, hb), (pad, wb), (0, 0)))
+    blob_fast = np.zeros((hb, wb), bool)
+    blob_fast[py:py + h, px:px + w] = blob[y0:y0 + h, x0:x0 + w]
+    got = np.asarray(level_paragraph_crops(
+        jnp.asarray(padded), jnp.asarray(np.packbits(blob_fast, axis=1))[None],
+        jnp.asarray([1], jnp.int32),
+        jnp.asarray([y0 - py + pad], jnp.int32),
+        jnp.asarray([x0 - px + pad], jnp.int32)))
+
+    np.testing.assert_array_equal(got, ref)

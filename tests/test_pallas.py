@@ -62,3 +62,23 @@ def test_fused_char_head_matches_reference():
         jnp.asarray(x), jnp.asarray(w1), jnp.asarray(w2), jnp.asarray(w3)))
     assert got.shape == (N, W, 162)
     np.testing.assert_allclose(got, exp, rtol=2e-4, atol=1e-4)
+
+
+def test_char_forward_masked_pallas_head_matches_xla():
+    """char_forward_masked(head='pallas') == head='xla' through the full
+    masked Char forward (the serving pipeline's TPU configuration)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models import make_char
+    from univer_ocr_tpu.models.fastpath import char_forward_masked
+
+    model = make_char((1, 496, 64, 1))
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.rand(3, 32, 64, 1).astype(np.float32))
+    w_valid = jnp.asarray([64, 40, 8], jnp.int32)
+
+    ref = char_forward_masked(model.params, x, w_valid, head='xla')
+    got = char_forward_masked(model.params, x, w_valid, head='pallas',
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)

@@ -29,7 +29,8 @@ def test_pipeline_matches_model_system(pages):
                for name, w in m.get_weights().items()}
 
     pipeline = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2,
-                           workers=2, quantized_transfers=False)
+                           workers=2, quantized_transfers=False,
+                           precision='highest')
 
     expected = []
     for page in pages:
@@ -52,11 +53,12 @@ def test_pipeline_handles_empty_detections():
 def test_pipeline_pallas_front_matches(pages):
     """use_pallas front (fused monochrome kernel) == XLA front."""
     import jax.numpy as jnp
-    a = OCRPipeline(PAGE_SHAPE, weights=None, chunk=2, workers=2)
+    a = OCRPipeline(PAGE_SHAPE, weights=None, chunk=2, workers=2,
+                    precision='highest')
     weights = {n: {p: np.asarray(v).tolist() for p, v in lp.items()}
                for n, lp in a.front_params.items()}
     b = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
-                    use_pallas=True)
+                    use_pallas=True, precision='highest')
     batch = np.concatenate([(p * 255).astype(np.uint8) for p in pages])
     m_a, p_a = a._front(a.front_params, jnp.asarray(batch))
     m_b, p_b = b._front(b.front_params, jnp.asarray(batch))
@@ -77,12 +79,35 @@ def test_device_cascade_matches_host_pipeline(pages):
         pytest.skip('no trained checkpoint available')
 
     host = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
-                       quantized_transfers=False)
+                       quantized_transfers=False, precision='highest')
     device = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
-                         device_cascade=True)
+                         device_cascade=True, precision='highest')
     expected = host.ocr_pages(pages)
     got = device.ocr_pages(pages)
     assert got == expected
+
+
+def test_device_cascade_bf16_close_to_f32(pages):
+    """The bf16 serving default may flip threshold-boundary pixels (its
+    errors are ~1e-3 vs the band rule's O(0.5) margins); the decoded text
+    must stay nearly identical to the f32 path."""
+    import json
+    from difflib import SequenceMatcher
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+
+    f32 = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                      device_cascade=True, precision='highest')
+    bf16 = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                       device_cascade=True, precision='bf16')
+    text_f32 = '\n'.join(line for page in f32.ocr_pages(pages)
+                         for para in page for line in para)
+    text_bf16 = '\n'.join(line for page in bf16.ocr_pages(pages)
+                          for para in page for line in para)
+    assert SequenceMatcher(None, text_f32, text_bf16).ratio() > 0.9
 
 
 def test_device_cascade_handles_empty_detections():
@@ -104,7 +129,8 @@ def test_device_line_thresholding_matches_host():
     from univer_ocr_tpu.models.fastpath import line_forward_masked
 
     model = make_line(PAGE_SHAPE)
-    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1)
+    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
+                       precision='highest')
     pipe.line_model.params = model.params
 
     rs = np.random.RandomState(3)

@@ -31,6 +31,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops import precision as precision_policy
 from .fastpath import _mask_hw, line_forward_masked
 
 # ---------------------------------------------------------------------------
@@ -231,24 +232,12 @@ def zoomed_line_crops(crop_stack, para_idx,
 # ---------------------------------------------------------------------------
 
 
-def paragraph_stage(params, mono_stack, blob_bits, page_idx,
-                    src_y0, src_x0, src_h, src_w,
-                    cos_a, sin_a, off_y, off_x, out_y0, out_x0,
-                    out_h, out_w, pad_y, pad_x, h_valid, w_valid):
-    """Fused: deskew-gather the paragraph crops, run the masked Line FCN,
-    threshold the band maps over each sample's valid region (the
-    arr > 0.5*(mean+max) rule of interpreter.py:437-438), bit-pack.
-
-    Returns (crops, packed_bands): crops stay device-resident for the line
-    stage; packed_bands (B, HV?, WB//8, 2) uint8 ship to the host.
-    """
-    crops = rotated_paragraph_crops(
-        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
-        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
-        pad_y, pad_x)
-
+def _band_masks(params, crops, h_valid, w_valid, precision=None):
+    """Masked Line forward + the reference's band thresholding
+    (arr > 0.5*(mean+max) over the valid region, interpreter.py:437-438),
+    bit-packed along width for the D2H trip."""
     pred = line_forward_masked(params, crops, h_valid, w_valid,
-                               prefix='Line')
+                               prefix='Line', precision=precision)
     pred = _mask_hw(pred, h_valid, w_valid)
     hv = h_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
     wv = w_valid.reshape(-1, 1, 1, 1).astype(jnp.float32)
@@ -259,5 +248,133 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
     mean = jnp.sum(pred, axis=(1, 2), keepdims=True) / (hv * wv)
     peak = jnp.max(pred, axis=(1, 2), keepdims=True)
     bands = (pred > 0.5 * (mean + peak)) & valid
-    packed = jnp.packbits(bands.astype(jnp.uint8), axis=2)
+    return jnp.packbits(bands.astype(jnp.uint8), axis=2)
+
+
+def level_paragraph_crops(padded_stack, blob_bits, page_idx,
+                          start_y, start_x):
+    """Level (no-deskew) paragraph crops as per-sample dynamic slices.
+
+    TPU gathers with arbitrary 2D indices are orders of magnitude slower
+    than contiguous DMA; for the common angle=None paragraph the "rotation"
+    is the identity, so the crop is a static-size dynamic_slice from the
+    padded page stack multiplied by the blob mask (which the host packs
+    pre-ALIGNED to the same placement, so the multiply also applies the
+    make_divisible_by positioning and zeroes everything outside).
+
+    padded_stack : (N, H', W', 1) f32 pages, padded so no slice clamps:
+                   top/left by PAD, bottom/right by the largest menu dims.
+    start_y/x    : (B,) int32 slice origins = bbox - placement + PAD.
+    """
+    HB = blob_bits.shape[1]
+    WB = blob_bits.shape[2] * 8
+    blob = jnp.unpackbits(blob_bits, axis=2).astype(padded_stack.dtype)
+
+    def one(args):
+        page, sy, sx = args
+        zero = jnp.zeros((), page.dtype)
+        return lax.dynamic_slice(
+            padded_stack, (page, sy, sx, zero), (1, HB, WB, 1))[0, :, :, 0]
+
+    crops = lax.map(one, (page_idx, start_y, start_x))
+    return (crops * blob)[..., None]
+
+
+def paragraph_stage_fast(params, padded_stack, blob_bits, page_idx,
+                         start_y, start_x, h_valid, w_valid,
+                         precision=None):
+    """Fused level-paragraph stage: dynamic-slice crop + masked Line FCN +
+    band thresholding.  Returns (crops, packed_bands)."""
+    crops = level_paragraph_crops(padded_stack, blob_bits, page_idx,
+                                  start_y, start_x)
+    packed = _band_masks(params, crops, h_valid, w_valid,
+                         precision=precision)
     return crops, packed
+
+
+def paragraph_stage(params, mono_stack, blob_bits, page_idx,
+                    src_y0, src_x0, src_h, src_w,
+                    cos_a, sin_a, off_y, off_x, out_y0, out_x0,
+                    out_h, out_w, pad_y, pad_x, h_valid, w_valid,
+                    precision=None):
+    """Fused deskewed-paragraph stage (the rare angle!=None path): bilinear
+    rotation gather + masked Line FCN + band thresholding.
+    Returns (crops, packed_bands)."""
+    crops = rotated_paragraph_crops(
+        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
+        pad_y, pad_x)
+    packed = _band_masks(params, crops, h_valid, w_valid,
+                         precision=precision)
+    return crops, packed
+
+
+def zoomed_line_crops_matmul(crop_stack, para_idx,
+                             ratio_y, ratio_x, w_out,
+                             a_yy, a_yx, b_y, a_xy, a_xx, b_x,
+                             out_h, out_w, precision=None):
+    """Zoomed line crops as two one-hot matmuls on the MXU.
+
+    The zoom + rot90 index map is separable: the source row depends on
+    exactly one output axis and the source column on the other (which axis
+    depends on the rot90 parity).  One-hot selector matrices turn the
+    nearest-neighbor sampling into projections the MXU executes in
+    microseconds — where the equivalent arbitrary-index gather costs
+    hundreds of milliseconds on TPU.  Both parities are computed and
+    selected per sample, so one program serves every rotation.
+
+    Same semantics as zoomed_line_crops (scipy endpoint-aligned zoom,
+    floor(x+0.5) rounding, columns >= w_out zeroed).
+    """
+    Bl = para_idx.shape[0]
+    HB, WB = crop_stack.shape[1], crop_stack.shape[2]
+
+    def col(v, dtype):
+        return jnp.asarray(v, dtype).reshape(Bl, 1)
+
+    # nearest pre-rot90 coordinates along each OUTPUT axis
+    yr = jnp.floor(jnp.arange(out_h, dtype=jnp.float32)[None, :]
+                   * col(ratio_y, jnp.float32) + 0.5).astype(jnp.int32)
+    xr = jnp.floor(jnp.arange(out_w, dtype=jnp.float32)[None, :]
+                   * col(ratio_x, jnp.float32) + 0.5).astype(jnp.int32)
+
+    ayy, ayx = col(a_yy, jnp.int32), col(a_yx, jnp.int32)
+    axy, axx = col(a_xy, jnp.int32), col(a_xx, jnp.int32)
+    by, bx = col(b_y, jnp.int32), col(b_x, jnp.int32)
+
+    # parity 0 (rot90 k even): src row <- output row, src col <- output col
+    row_sel0 = ayy * yr + by                                # (Bl, out_h)
+    col_sel0 = axx * xr + bx                                # (Bl, out_w)
+    # parity 1 (k odd): src row <- output col, src col <- output row
+    row_sel1 = ayx * xr + by                                # (Bl, out_w)
+    col_sel1 = axy * yr + bx                                # (Bl, out_h)
+
+    img = jnp.take(crop_stack[:, :, :, 0], para_idx, axis=0)  # (Bl, HB, WB)
+    mode = precision_policy.resolve(precision)
+    if mode == 'bf16':
+        img = img.astype(jnp.bfloat16)
+        sel_dtype, mxu = jnp.bfloat16, lax.Precision.DEFAULT
+    else:
+        sel_dtype, mxu = jnp.float32, lax.Precision.HIGHEST
+
+    def one_hot(sel, size):
+        return (sel[:, :, None]
+                == jnp.arange(size, dtype=jnp.int32)).astype(sel_dtype)
+
+    def project(row_sel, col_sel):
+        rows = one_hot(row_sel, HB)                 # (Bl, R, HB)
+        cols = one_hot(col_sel, WB)                 # (Bl, C, WB)
+        tmp = jnp.einsum('brh,bhw->brw', rows, img, precision=mxu,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum('brw,bcw->brc', tmp, cols, precision=mxu,
+                          preferred_element_type=jnp.float32)
+
+    out0 = project(row_sel0, col_sel0)                       # (Bl, oh, ow)
+    out1 = jnp.swapaxes(project(row_sel1, col_sel1), 1, 2)   # (Bl, oh, ow)
+    parity_odd = ((ayx != 0) | (axy != 0))[:, :, None]
+    values = jnp.where(parity_odd, out1, out0)
+
+    cols_idx = lax.broadcasted_iota(jnp.int32, values.shape, 2)
+    values = jnp.where(cols_idx < col(w_out, jnp.int32)[:, :, None],
+                       values, 0.0)
+    return values[..., None]

@@ -43,44 +43,50 @@ def _mask_hw(x, h_valid, w_valid):
     return jnp.where(keep, x, jnp.zeros_like(x))
 
 
-def _conv(params, key, x, stride=1, padding=2):
+def _conv(params, key, x, stride=1, padding=2, precision=None):
     p = params[key]
     return ops.conv2d(x, p['w'], p['b'], stride=(stride, stride),
-                      padding=(padding, padding))
+                      padding=(padding, padding), precision=precision)
 
 
 def _leaky(x):
     return ops.leaky_relu(x, LEAKY_ALPHA)
 
 
-def line_forward_masked(params, x, h_valid, w_valid, prefix='Line'):
+def line_forward_masked(params, x, h_valid, w_valid, prefix='Line',
+                        precision=None):
     """Masked Paragraph/Line FCN forward: x is a bucket-padded (B, H, W, C)
     crop whose true extent is (h_valid, w_valid) (multiples of 4, as
     guaranteed by the /16 crop padding).  Returns the full padded output;
     callers trim to (h_valid, w_valid)."""
     x = _mask_hw(x, h_valid, w_valid)
 
-    x = _leaky(_conv(params, f'{prefix}/down_1/conv_1', x, stride=2))
+    x = _leaky(_conv(params, f'{prefix}/down_1/conv_1', x, stride=2,
+                     precision=precision))
     h2, w2 = h_valid // 2, w_valid // 2
     x = _mask_hw(x, h2, w2)
 
-    x = _leaky(_conv(params, f'{prefix}/down_2/conv_1', x, stride=2))
+    x = _leaky(_conv(params, f'{prefix}/down_2/conv_1', x, stride=2,
+                     precision=precision))
     h4, w4 = h_valid // 4, w_valid // 4
     x = _mask_hw(x, h4, w4)
 
     x = ops.upsample2d(x, 2)
-    x = _leaky(_conv(params, f'{prefix}/up_2/conv_block/conv_1', x))
+    x = _leaky(_conv(params, f'{prefix}/up_2/conv_block/conv_1', x,
+                     precision=precision))
     x = _mask_hw(x, h2, w2)
 
     x = ops.upsample2d(x, 2)
-    x = _leaky(_conv(params, f'{prefix}/up_1/conv_block/conv_1', x))
+    x = _leaky(_conv(params, f'{prefix}/up_1/conv_block/conv_1', x,
+                     precision=precision))
     x = _mask_hw(x, h_valid, w_valid)
 
-    x = _conv(params, f'{prefix}/end/conv_1', x)
+    x = _conv(params, f'{prefix}/end/conv_1', x, precision=precision)
     return ops.sigmoid(x)
 
 
-def char_forward_masked(params, x, w_valid):
+def char_forward_masked(params, x, w_valid, precision=None, head='xla',
+                        interpret=False):
     """Masked Char forward: x is a (N, 32, W, 1) batch of bucket-padded
     lines, `w_valid` a (N,) vector of true widths.  Returns (N, W,
     len_chars) logits; row (n, j) is valid for j < w_valid[n].
@@ -89,6 +95,11 @@ def char_forward_masked(params, x, w_valid):
     conv [64,64,64] k(5,3) p(0,1) s(2,1) -> width->batch unfold(8) ->
     flatten -> dense [1024,128,162].  Height is always exactly 32 (the line
     crops are zoomed to CHAR_INPUT_HEIGHT), so only width needs masking.
+
+    `head='pallas'` runs the unfold + dense chain as the fused MXU kernel
+    (ops/pallas/char_head.py): windows gathered from VMEM, three matmuls
+    back-to-back, only the logits written to HBM.  Numerics asserted equal
+    to the XLA path in tests/test_pallas.py.
     """
     N, H, W, C = x.shape
     wv = w_valid.reshape(N, 1, 1, 1)
@@ -100,27 +111,42 @@ def char_forward_masked(params, x, w_valid):
     x = mask_w(x)
     for i in (1, 2, 3):
         p = params[f'Char/conv_block/conv_{i}']
-        x = ops.conv2d(x, p['w'], p['b'], stride=(2, 1), padding=(0, 1))
+        x = ops.conv2d(x, p['w'], p['b'], stride=(2, 1), padding=(0, 1),
+                       precision=precision)
         x = _leaky(x)
         x = mask_w(x)
+
+    if head == 'pallas':
+        from ..ops.pallas.char_head import fused_char_head
+        logits = fused_char_head(
+            x[:, 0, :, :],
+            params['Char/dense_block/dense_1']['w'],
+            params['Char/dense_block/dense_2']['w'],
+            params['Char/dense_block/dense_3']['w'],
+            interpret=interpret)
+        return logits
 
     x = ops.unfold_to_fixed_width(x, 8)        # (N*W, 1, 8, 64)
     x = x.reshape(x.shape[0], -1)              # flatten
 
-    x = ops.dense(x, params['Char/dense_block/dense_1']['w'])
+    x = ops.dense(x, params['Char/dense_block/dense_1']['w'],
+                  precision=precision)
     x = _leaky(x)
-    x = ops.dense(x, params['Char/dense_block/dense_2']['w'])
+    x = ops.dense(x, params['Char/dense_block/dense_2']['w'],
+                  precision=precision)
     x = _leaky(x)
-    x = ops.dense(x, params['Char/dense_block/dense_3']['w'])
+    x = ops.dense(x, params['Char/dense_block/dense_3']['w'],
+                  precision=precision)
 
     return x.reshape(N, W, -1)
 
 
-def monochrome_forward(params, x, prefix='Monochrome'):
+def monochrome_forward(params, x, prefix='Monochrome', precision=None):
     """Monochrome conv block [16, out] k3 p1, sigmoid end (reference
     my_model/model.py:108-134).  Fixed page shape — no masking needed."""
-    x = _leaky(_conv(params, f'{prefix}/conv_1', x, padding=1))
-    x = _conv(params, f'{prefix}/conv_2', x, padding=1)
+    x = _leaky(_conv(params, f'{prefix}/conv_1', x, padding=1,
+                     precision=precision))
+    x = _conv(params, f'{prefix}/conv_2', x, padding=1, precision=precision)
     return ops.sigmoid(x)
 
 

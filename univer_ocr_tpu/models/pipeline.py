@@ -35,9 +35,10 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        pred_ids_to_text, rearrange_lines,
                                        rotate_array)
 from .bucketing import round_up
-from .device_cascade import (paragraph_stage, rot90_inverse_affine,
-                             rotate_affine, zoom_output_width, zoom_ratio,
-                             zoomed_line_crops)
+from .device_cascade import (paragraph_stage, paragraph_stage_fast,
+                             rot90_inverse_affine, rotate_affine,
+                             zoom_output_width, zoom_ratio,
+                             zoomed_line_crops_matmul)
 from .fastpath import (_mask_hw, char_forward_masked, line_forward_masked,
                        monochrome_forward)
 from .model import (CHAR_FIXED_WIDTH, CHAR_INPUT_HEIGHT, make_char,
@@ -89,11 +90,14 @@ class OCRPipeline:
     #: Fixed device batch for Line/Char launches (pow2 padding per launch
     #: would multiply the compile menu by the number of batch sizes).
     DEVICE_BATCH = 16
+    #: top/left padding of the device page stack so level-paragraph
+    #: dynamic slices never clamp (bottom/right pad by the largest menu)
+    STACK_PAD = 16
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
-                 quantized_transfers=True, mesh=None, use_pallas=False,
-                 device_cascade=False):
+                 quantized_transfers=True, mesh=None, use_pallas=None,
+                 device_cascade=False, precision='bf16'):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -101,6 +105,15 @@ class OCRPipeline:
         self.collapse_runs = collapse_runs
         self.quantized_transfers = quantized_transfers
         self.device_cascade = device_cascade
+        #: MXU policy for every model forward in this pipeline: 'bf16'
+        #: (serving default: one MXU pass, f32 accumulation) or 'highest'
+        #: (full-f32 parity mode; see ops/precision.py)
+        self.precision = precision
+        if use_pallas is None:
+            # Pallas kernels target the TPU memory hierarchy; the XLA path
+            # serves CPU runs (tests) where pallas would need interpret mode
+            use_pallas = jax.devices()[0].platform != 'cpu'
+        self.use_pallas = use_pallas
         # paragraph crops pad to a tiny menu of canonical shapes: program
         # count is the scarce resource (a remote compile is minutes), but
         # most paragraphs are far smaller than a page, so a 3-entry menu
@@ -120,16 +133,27 @@ class OCRPipeline:
                 model.set_weights(weights)
 
         self.front_params = {**mono.params, **para.params}
-        para_forward = para.forward_fn
         quantized = quantized_transfers
+
+        # the Paragraph model shares the Line topology/key-schema; its
+        # full-extent masked forward is the same computation as
+        # para.forward_fn, with the precision policy threaded through
+        H_page, W_page = page_shape[1], page_shape[2]
+
+        def para_forward_fn(params, m):
+            return line_forward_masked(params, m, H_page, W_page,
+                                       prefix='Paragraph',
+                                       precision=precision)
 
         if use_pallas:
             from ..ops.pallas import fused_monochrome
             interp = jax.devices()[0].platform == 'cpu'
             H = page_shape[1]
             # largest strip height <= 128 dividing H (VMEM budget for the
-            # 16-channel intermediate)
-            strip = max(d for d in range(1, 129) if H % d == 0)
+            # 16-channel intermediate); Mosaic requires the sublane block
+            # dim divisible by 8 unless it spans the whole axis
+            strips = [d for d in range(8, 129, 8) if H % d == 0]
+            strip = max(strips) if strips else H
 
             def mono_fwd(params, x):
                 # Pallas fused monochrome block, vmapped over the chunk
@@ -143,14 +167,14 @@ class OCRPipeline:
                                                 interpret=interp)[0]
                 )(x)
         else:
-            mono_fwd = monochrome_forward
+            mono_fwd = partial(monochrome_forward, precision=precision)
 
         def front(params, batch_u8):
             # pages upload as uint8 (4x less tunnel traffic); exact:
             # u8/255 reproduces the host encode_layers normalization.
             x = batch_u8.astype(jnp.float32) / 255.0
             m = mono_fwd(params, x)
-            p = para_forward(params, [m])[0]
+            p = para_forward_fn(params, m)
             # threshold the paragraph mask on device (mean per page, the
             # label_layer rule) and ship one byte per pixel instead of four
             mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
@@ -173,7 +197,8 @@ class OCRPipeline:
         else:
             self._front = jax.jit(front)
         self.mesh = mesh
-        self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line'))
+        self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line',
+                                        precision=precision))
 
         def line_masks(params, x_u8, h_valid, w_valid):
             x = x_u8.astype(jnp.float32) / 255.0
@@ -182,7 +207,7 @@ class OCRPipeline:
             # interpreter.py:437-438) and bit-pack: the f32 band maps are
             # the biggest D2H payload of the cascade (24 MB/launch -> 0.75)
             pred = line_forward_masked(params, x, h_valid, w_valid,
-                                       prefix='Line')
+                                       prefix='Line', precision=precision)
             # zero the invalid region BEFORE the stats: the final sigmoid
             # is not masked inside line_forward_masked, and a small crop in
             # the canonical pad would otherwise have its mean dominated by
@@ -204,12 +229,16 @@ class OCRPipeline:
 
         self._line_masks_fn = jax.jit(line_masks)
 
+        char_head = 'pallas' if use_pallas else 'xla'
+
         def char_ids(params, x, w_valid):
             # argmax on device: ship (N, W) ids + validity instead of the
             # (N, W, 162) float logits (650x less traffic per line)
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
-            logits = char_forward_masked(params, x, w_valid)
+            logits = char_forward_masked(params, x, w_valid,
+                                         precision=precision,
+                                         head=char_head)
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             valid = jnp.max(logits, axis=-1) != 0.0
             return ids, valid
@@ -222,24 +251,35 @@ class OCRPipeline:
         def front_resident(params, batch_u8):
             x = batch_u8.astype(jnp.float32) / 255.0
             m = mono_fwd(params, x)
-            p = para_forward(params, [m])[0]
+            p = para_forward_fn(params, m)
             mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
             p_mask = (p > mean).astype(jnp.uint8)
             return m, jnp.packbits(p_mask, axis=2)
 
         self._front_resident = jax.jit(front_resident)
-        self._paragraph_stage = jax.jit(paragraph_stage)
+        self._paragraph_stage = jax.jit(
+            partial(paragraph_stage, precision=precision))
+        self._paragraph_stage_fast = jax.jit(
+            partial(paragraph_stage_fast, precision=precision))
+        self._pad_stack = jax.jit(lambda m: jnp.pad(
+            m, ((0, 0), (self.STACK_PAD, self.line_shape_menu[-1][0]),
+                (self.STACK_PAD, self.line_shape_menu[-1][1]), (0, 0))))
 
         def line_stage(params, crop_stack, para_idx, ratio_y, ratio_x,
                        w_out, a_yy, a_yx, b_y, a_xy, a_xx, b_x, w_valid,
                        out_h, out_w):
-            lines = zoomed_line_crops(
+            lines = zoomed_line_crops_matmul(
                 crop_stack, para_idx, ratio_y, ratio_x, w_out,
-                a_yy, a_yx, b_y, a_xy, a_xx, b_x, out_h, out_w)
-            logits = char_forward_masked(params, lines, w_valid)
-            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                a_yy, a_yx, b_y, a_xy, a_xx, b_x, out_h, out_w,
+                precision=precision)
+            logits = char_forward_masked(params, lines, w_valid,
+                                         precision=precision,
+                                         head=char_head)
+            ids = jnp.argmax(logits, axis=-1)
+            # one uint8 per column over the slow D2H link: 255 flags the
+            # columns PredToText skips (max logit exactly 0, i.e. masked)
             valid = jnp.max(logits, axis=-1) != 0.0
-            return ids, valid
+            return jnp.where(valid, ids, 255).astype(jnp.uint8)
 
         self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
         self._pool = ThreadPoolExecutor(max_workers=workers)
@@ -363,9 +403,10 @@ class OCRPipeline:
     # ------------------------------------------------------------------
 
     def _page_paragraph_plans(self, page_idx, para2d):
-        """Label one page's paragraph mask and plan each blob's deskew
-        gather (bbox, scipy rotate affine, rotated-mask bbox, menu shape,
-        packed blob)."""
+        """Label one page's paragraph mask and plan each blob's crop:
+        level paragraphs (angle None, the common case) become dynamic-slice
+        crops from the padded page stack; deskewed ones carry the scipy
+        rotate affine for the bilinear gather program."""
         from .. import native as _native
         if _native.available():
             labels, count = _native.label(para2d > 0)
@@ -403,40 +444,51 @@ class OCRPipeline:
             # never produces
             out_h, hv = min(out_h, hb), min(hv, hb)
             out_w, wv = min(out_w, wb), min(wv, wb)
-            blob_packed = np.zeros((hb, wb // 8), np.uint8)
-            packed = np.packbits(blob[:hb, :wb], axis=1)
-            blob_packed[:packed.shape[0], :packed.shape[1]] = packed
+            rotated = angle is not None
+            buf = np.zeros((hb, wb), bool)
+            if rotated:
+                # gather path: blob in bbox-local coords at (0, 0)
+                buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
+            else:
+                # slice path: blob pre-aligned to the make_divisible_by
+                # placement, so the multiply positions AND masks the crop
+                buf[py:py + h, px:px + w] = blob
             plans.append({
                 'page': page_idx, 'y0': sl[0].start, 'x0': sl[1].start,
                 'h': h, 'w': w, 'cos': cos_a, 'sin': sin_a,
                 'off_y': off[0], 'off_x': off[1], 'ry0': ry0, 'rx0': rx0,
                 'out_h': out_h, 'out_w': out_w, 'py': py, 'px': px,
-                'hv': hv, 'wv': wv,
-                'menu': (hb, wb), 'blob': blob_packed,
+                'hv': hv, 'wv': wv, 'rotated': rotated,
+                'start_y': sl[0].start - py + self.STACK_PAD,
+                'start_x': sl[1].start - px + self.STACK_PAD,
+                'menu': (hb, wb), 'blob': np.packbits(buf, axis=1),
             })
         return plans
 
-    def _dispatch_paragraph_stage(self, mono_dev, plans):
-        """Launch the fused deskew-gather + Line programs for all plans.
-        Returns [(plan_indices, crops_dev, packed_bands_dev)] with crops
-        left on device for the line stage."""
+    def _dispatch_paragraph_stage(self, mono_dev, padded_dev, plans):
+        """Launch the fused crop + Line programs for all plans: the
+        dynamic-slice program for level paragraphs, the bilinear-gather
+        program for deskewed ones.  Returns [(plan_indices, crops_dev,
+        packed_bands_dev)] with crops left on device for the line stage."""
         groups = {}
         for i, plan in enumerate(plans):
-            groups.setdefault(plan['menu'], []).append(i)
+            groups.setdefault((plan['menu'], plan['rotated']), []).append(i)
         B = self.DEVICE_BATCH
         params = self.line_model.params
         launches = []
-        for (hb, wb), idxs in groups.items():
+        for ((hb, wb), rotated), idxs in groups.items():
             for start in range(0, len(idxs), B):
                 sel = idxs[start:start + B]
                 blob = np.zeros((B, hb, wb // 8), np.uint8)
                 ints = {k: np.full((B,), 4, np.int32)
                         for k in ('y0', 'x0', 'h', 'w', 'ry0', 'rx0',
                                   'out_h', 'out_w', 'py', 'px',
-                                  'hv', 'wv')}
+                                  'hv', 'wv', 'start_y', 'start_x')}
                 ints['page'] = np.zeros((B,), np.int32)
                 for k in ('ry0', 'rx0', 'py', 'px'):
                     ints[k][:] = 0
+                ints['start_y'][:] = self.STACK_PAD
+                ints['start_x'][:] = self.STACK_PAD
                 floats = {'cos': np.ones((B,), np.float32),
                           'sin': np.zeros((B,), np.float32),
                           'off_y': np.zeros((B,), np.float32),
@@ -448,17 +500,29 @@ class OCRPipeline:
                         ints[k][bi] = plan[k]
                     for k in floats:
                         floats[k][bi] = plan[k]
-                crops, packed = self._paragraph_stage(
-                    params, mono_dev, jnp.asarray(blob),
-                    jnp.asarray(ints['page']),
-                    jnp.asarray(ints['y0']), jnp.asarray(ints['x0']),
-                    jnp.asarray(ints['h']), jnp.asarray(ints['w']),
-                    jnp.asarray(floats['cos']), jnp.asarray(floats['sin']),
-                    jnp.asarray(floats['off_y']), jnp.asarray(floats['off_x']),
-                    jnp.asarray(ints['ry0']), jnp.asarray(ints['rx0']),
-                    jnp.asarray(ints['out_h']), jnp.asarray(ints['out_w']),
-                    jnp.asarray(ints['py']), jnp.asarray(ints['px']),
-                    jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
+                if rotated:
+                    crops, packed = self._paragraph_stage(
+                        params, mono_dev, jnp.asarray(blob),
+                        jnp.asarray(ints['page']),
+                        jnp.asarray(ints['y0']), jnp.asarray(ints['x0']),
+                        jnp.asarray(ints['h']), jnp.asarray(ints['w']),
+                        jnp.asarray(floats['cos']),
+                        jnp.asarray(floats['sin']),
+                        jnp.asarray(floats['off_y']),
+                        jnp.asarray(floats['off_x']),
+                        jnp.asarray(ints['ry0']), jnp.asarray(ints['rx0']),
+                        jnp.asarray(ints['out_h']),
+                        jnp.asarray(ints['out_w']),
+                        jnp.asarray(ints['py']), jnp.asarray(ints['px']),
+                        jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
+                else:
+                    crops, packed = self._paragraph_stage_fast(
+                        params, padded_dev, jnp.asarray(blob),
+                        jnp.asarray(ints['page']),
+                        jnp.asarray(ints['start_y']),
+                        jnp.asarray(ints['start_x']),
+                        jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
+                packed.copy_to_host_async()
                 launches.append((sel, crops, packed))
         return launches
 
@@ -468,12 +532,15 @@ class OCRPipeline:
         tops, bottoms, rotation = rearrange_lines(
             label_layer(bands[None, :, :, 0:1]),
             label_layer(bands[None, :, :, 1:2]))
-        line_plans = []
+        bboxes = []
         for top_mask, bottom_mask in zip(tops, bottoms):
             _, ty, tx, _ = ndimage.find_objects(top_mask)[0]
             _, by_, bx_, _ = ndimage.find_objects(bottom_mask)[0]
-            y = slice(min(ty.start, by_.start), max(ty.stop, by_.stop))
-            x = slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))
+            bboxes.append((
+                slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
+                slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
+        line_plans = []
+        for y, x in bboxes:
             h_l, w_l = y.stop - y.start, x.stop - x.start
             (lh, lw), (a_yy, a_yx, b_y, a_xy, a_xx, b_x) = (
                 rot90_inverse_affine(rotation, h_l, w_l))
@@ -517,7 +584,7 @@ class OCRPipeline:
                         floats[k][bi] = plan[k]
                     for k in ints:
                         ints[k][bi] = plan[k]
-                ids, valid = self._line_stage(
+                ids = self._line_stage(
                     params, crops_dev, jnp.asarray(para_idx),
                     jnp.asarray(floats['ratio_y']),
                     jnp.asarray(floats['ratio_x']),
@@ -527,12 +594,13 @@ class OCRPipeline:
                     jnp.asarray(ints['a_xx']), jnp.asarray(ints['b_x']),
                     jnp.asarray(ints['w_valid']),
                     CHAR_INPUT_HEIGHT, wc)
-                launches.append((sel, ids, valid))
+                launches.append((sel, ids))
         return launches
 
     def _ocr_chunk_device(self, n_pages, mono_dev, para_bits):
         """One chunk, device-resident: host work is CCL + geometry over
-        bit-packed masks; every pixel transform is a device gather."""
+        bit-packed masks; every pixel transform is a device slice/matmul."""
+        padded_dev = self._pad_stack(mono_dev)
         para = np.unpackbits(para_bits, axis=2)
         para = para[:, :, :self.page_shape[2], 0]
 
@@ -540,19 +608,19 @@ class OCRPipeline:
                  for page in range(n_pages)
                  for p in self._page_paragraph_plans(page, para[page])]
 
-        launches = self._dispatch_paragraph_stage(mono_dev, plans)
+        launches = self._dispatch_paragraph_stage(mono_dev, padded_dev,
+                                                  plans)
 
         # host: band geometry per paragraph (threaded), then dispatch all
         # char launches before pulling any result
         texts = {}                      # plan index -> [line text]
         char_launches = []
         for sel, crops_dev, packed_dev in launches:
-            packed = np.asarray(packed_dev)
-            bands = np.unpackbits(packed, axis=2)
+            bands = np.unpackbits(np.asarray(packed_dev), axis=2)
 
             def plan_slot(bi):
                 plan = plans[sel[bi]]
-                view = bands[bi, :plan['hv'], :plan['wv'], :]
+                view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
                 return [(bi, lp) for lp in self._plan_lines(view)]
 
             per_slot = list(self._pool.map(plan_slot, range(len(sel))))
@@ -563,13 +631,13 @@ class OCRPipeline:
         results = [[] for _ in range(n_pages)]
         for sel, flat, refs in char_launches:
             line_texts = [None] * len(flat)
-            for ref_sel, ids_dev, valid_dev in refs:
+            for ref_sel, ids_dev in refs:
                 ids = np.asarray(ids_dev)
-                valid = np.asarray(valid_dev)
                 for bi, ref in enumerate(ref_sel):
                     w = flat[ref][1]['w_valid']
+                    row = ids[bi, :w]
                     line_texts[ref] = pred_ids_to_text(
-                        ids[bi, :w], valid[bi, :w], self.collapse_runs)
+                        row, row != 255, self.collapse_runs)
             cursor = 0
             for bi, i in enumerate(sel):
                 n_lines = sum(1 for slot, _ in flat if slot == bi)
@@ -594,11 +662,13 @@ class OCRPipeline:
 
     def _warmup_device(self):
         """Compile the device-cascade program menu: the resident front at
-        full chunk batch, one paragraph-stage program per crop-menu shape,
-        and one line-stage program per (crop menu, char width) pair."""
+        full chunk batch, both paragraph-stage programs (slice + gather)
+        per crop-menu shape, and one line-stage program per (crop menu,
+        char width) pair."""
         H, W = self.page_shape[1], self.page_shape[2]
         self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
+        padded_dev = self._pad_stack(mono_dev)
         for hb, wb in self.line_shape_menu:
             h, w = min(hb, H) - 8, min(wb, W) - 8
             blob = np.zeros((hb, wb // 8), np.uint8)
@@ -607,16 +677,21 @@ class OCRPipeline:
                     'cos': 1.0, 'sin': 0.0, 'off_y': 0.0, 'off_x': 0.0,
                     'ry0': 0, 'rx0': 0, 'out_h': h, 'out_w': w,
                     'py': 0, 'px': 0,
+                    'start_y': self.STACK_PAD, 'start_x': self.STACK_PAD,
                     'hv': round_up(h, 16), 'wv': round_up(w, 16),
                     'menu': (hb, wb), 'blob': blob}
-            (_, crops_dev, _), = self._dispatch_paragraph_stage(
-                mono_dev, [plan])
+            crops_dev = None
+            for rotated in (False, True):
+                plan['rotated'] = rotated
+                (_, crops_dev, packed), = self._dispatch_paragraph_stage(
+                    mono_dev, padded_dev, [dict(plan)])
+                packed.block_until_ready()
             for wc in self.CHAR_WIDTH_MENU:
                 line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0, 'w_out': wc,
                              'a_yy': 1, 'a_yx': 0, 'b_y': 0,
                              'a_xy': 0, 'a_xx': 1, 'b_x': 0,
                              'w_valid': wc}
-                for _, ids, valid in self._dispatch_line_stage(
+                for _, ids in self._dispatch_line_stage(
                         crops_dev, [(0, line_plan)]):
                     ids.block_until_ready()
 

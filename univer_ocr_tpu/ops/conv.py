@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import precision as precision_policy
+
 
 def conv_output_shape(input_shape, kernel_size, padding, stride, out_channels):
     """Spatial arithmetic of the reference (convolutional.py:290-301)."""
@@ -29,7 +31,7 @@ def conv_output_shape(input_shape, kernel_size, padding, stride, out_channels):
 
 
 def conv2d(x, w, b, *, stride=(1, 1), padding=(0, 0), padding_value=0.0,
-           bias=True, preferred_dtype=None):
+           bias=True, preferred_dtype=None, precision=None):
     """2-D convolution, NHWC input, HWIO weights.
 
     Matches the reference forward (convolutional.py:63-98): constant-value
@@ -37,20 +39,32 @@ def conv2d(x, w, b, *, stride=(1, 1), padding=(0, 0), padding_value=0.0,
     the bias into the im2col matmul with a `bias * ones` column,
     convolutional.py:87-94 — adding `b` after the conv is algebraically
     identical, including for `bias=False`).
+
+    `precision`: 'highest' (full f32 MXU passes, the 1e-5 parity mode) or
+    'bf16' (bf16 inputs, one MXU pass, f32 accumulation — the serving fast
+    path); None uses the module default (ops/precision.py).
     """
+    mode = precision_policy.resolve(precision)
     ph, pw = padding
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
                     constant_values=padding_value)
+    if mode == 'bf16':
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+        mxu_precision = lax.Precision.DEFAULT
+        preferred_dtype = jnp.float32
+    else:
+        # full f32 MXU precision: the TPU default lowers f32 matmuls to
+        # bf16 passes (~1e-2 error), violating the 1e-5 CPU-parity gate
+        mxu_precision = lax.Precision.HIGHEST
     y = lax.conv_general_dilated(
         x, w,
         window_strides=stride,
         padding='VALID',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         preferred_element_type=preferred_dtype,
-        # full f32 MXU precision: the TPU default lowers f32 matmuls to
-        # bf16 passes (~1e-2 error), violating the 1e-5 CPU-parity gate
-        precision=lax.Precision.HIGHEST,
+        precision=mxu_precision,
     )
     if bias:
         y = y + b

@@ -10,13 +10,25 @@ MXU `jnp.dot`.
 import jax.numpy as jnp
 from jax import lax
 
+from . import precision as precision_policy
 
-def dense(x, w, *, preferred_dtype=None):
+
+def dense(x, w, *, preferred_dtype=None, precision=None):
     """x: (B, n_in); w: (n_in + 1, n_out) with bias in the last row.
 
     `preferred_dtype` sets the MXU accumulation type (float32 for bf16
     inputs); None inherits the input dtype (exact for f32/f64 runs).
+    `precision`: see ops.conv2d — 'highest' | 'bf16' | None (module default).
     """
-    y = jnp.dot(x, w[:-1, :], preferred_element_type=preferred_dtype,
-                precision=lax.Precision.HIGHEST)
-    return y + w[-1, :]
+    mode = precision_policy.resolve(precision)
+    weight, bias_row = w[:-1, :], w[-1, :]
+    if mode == 'bf16':
+        x = x.astype(jnp.bfloat16)
+        weight = weight.astype(jnp.bfloat16)
+        mxu_precision = lax.Precision.DEFAULT
+        preferred_dtype = jnp.float32
+    else:
+        mxu_precision = lax.Precision.HIGHEST
+    y = jnp.dot(x, weight, preferred_element_type=preferred_dtype,
+                precision=mxu_precision)
+    return y + bias_row
