@@ -80,5 +80,7 @@ def test_char_forward_masked_pallas_head_matches_xla():
     ref = char_forward_masked(model.params, x, w_valid, head='xla')
     got = char_forward_masked(model.params, x, w_valid, head='pallas',
                               interpret=True)
+    # untrained random weights blow logits up to ~1e6; gate on relative
+    # error (summation order differs between the fused and XLA paths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=0, atol=1e-4)
+                               rtol=2e-5, atol=1e-4)

@@ -31,23 +31,30 @@ def _leaky(x):
 def _kernel(x_ref, w1_ref, w2_ref, w3_ref, out_ref, *, tile_w, channels):
     t = pl.program_id(1)
 
-    # Gather the 8-column windows for this tile: (tile_w, 8*C).
-    parts = [x_ref[0, pl.ds(t * tile_w + k, tile_w), :]
-             for k in range(UNFOLD)]
-    unfolded = jnp.concatenate(parts, axis=1)       # (tile_w, 8*C)
-
     import jax.lax as lax
-    h = jnp.dot(unfolded, w1_ref[:-1, :],
-                preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST) + w1_ref[-1, :]
+    # NOTE: ref indices must be explicit non-negative slices — Mosaic
+    # SIGABRTs on ref[-1, :] / ref[:-1, :].
+    n1, n2, n3 = w1_ref.shape[0], w2_ref.shape[0], w3_ref.shape[0]
+
+    # concat_k(x_shifted_k) @ W1 == sum_k x_shifted_k @ W1[kC:(k+1)C] —
+    # the unfold never materializes; each tap is one MXU matmul over the
+    # tile's shifted window.
+    h = (jnp.zeros((tile_w, w1_ref.shape[1]), jnp.float32)
+         + w1_ref[n1 - 1, :])
+    for k in range(UNFOLD):
+        window = x_ref[0, pl.ds(t * tile_w + k, tile_w), :]  # (tile_w, C)
+        h = h + jnp.dot(window,
+                        w1_ref[k * channels:(k + 1) * channels, :],
+                        preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)
     h = _leaky(h)
-    h = jnp.dot(h, w2_ref[:-1, :],
+    h = jnp.dot(h, w2_ref[0:n2 - 1, :],
                 preferred_element_type=jnp.float32,
-                precision=lax.Precision.HIGHEST) + w2_ref[-1, :]
+                precision=lax.Precision.HIGHEST) + w2_ref[n2 - 1, :]
     h = _leaky(h)
-    logits = jnp.dot(h, w3_ref[:-1, :],
+    logits = jnp.dot(h, w3_ref[0:n3 - 1, :],
                      preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST) + w3_ref[-1, :]
+                     precision=lax.Precision.HIGHEST) + w3_ref[n3 - 1, :]
     out_ref[0] = logits
 
 

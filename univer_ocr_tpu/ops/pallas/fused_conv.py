@@ -29,6 +29,10 @@ LEAKY_ALPHA = 0.01
 
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, strip_h,
             mid_channels, full_h, full_w):
+    # Weights live in SMEM and are read as scalars: TPU vregs tile the
+    # last two dims, so each hidden channel is its own 2D plane and every
+    # tap is a scalar * plane multiply-add on the VPU (a (mid,1,1)
+    # broadcast of a lane vector is an unsupported Mosaic shape cast).
     i = pl.program_id(0)
     th = strip_h
     # x_ref: full padded page (H+4, W+4) in VMEM. Strip i needs rows
@@ -36,34 +40,32 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref, *, strip_h,
     x = x_ref[pl.ds(i * th, th + 4), :]                     # (th+4, W+4)
     wpad = x.shape[1]
 
-    # conv1: 1 -> mid channels, 3x3, producing h1 on (th+2, W+2).
-    h1 = jnp.zeros((mid_channels, th + 2, wpad - 2), dtype=jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            shift = x[ky:ky + th + 2, kx:kx + wpad - 2]     # (th+2, W+2)
-            w1k = w1_ref[ky * 3 + kx, :]                    # (mid,)
-            h1 = h1 + w1k[:, None, None] * shift[None, :, :]
-    h1 = h1 + b1_ref[0, :][:, None, None]
-    h1 = jnp.where(h1 >= 0, h1, LEAKY_ALPHA * h1)
+    shifts = [[x[ky:ky + th + 2, kx:kx + wpad - 2] for kx in range(3)]
+              for ky in range(3)]
 
-    # conv2 must see *zero* padding outside the true image — but the bias
-    # and activation above made the halo ring nonzero there. Re-zero h1
+    # conv2 must see *zero* padding outside the true image — but conv1's
+    # bias and activation make the halo ring nonzero there. Mask h1
     # positions whose global coordinates fall outside [0, H) x [0, W).
-    local_rows = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 1)
-    local_cols = jax.lax.broadcasted_iota(jnp.int32, h1.shape, 2)
-    global_rows = i * th - 1 + local_rows
-    global_cols = local_cols - 1
-    inside = ((global_rows >= 0) & (global_rows < full_h)
-              & (global_cols >= 0) & (global_cols < full_w))
-    h1 = jnp.where(inside, h1, 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shifts[0][0].shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shifts[0][0].shape, 1)
+    inside = ((i * th - 1 + rows >= 0) & (i * th - 1 + rows < full_h)
+              & (cols - 1 >= 0) & (cols - 1 < full_w))
 
-    # conv2: mid -> 1, 3x3, producing out on (th, W).
     out = jnp.zeros((th, wpad - 4), dtype=jnp.float32)
-    for ky in range(3):
-        for kx in range(3):
-            window = h1[:, ky:ky + th, kx:kx + wpad - 4]    # (mid, th, W)
-            w2k = w2_ref[ky * 3 + kx, :]                    # (mid,)
-            out = out + jnp.sum(w2k[:, None, None] * window, axis=0)
+    for c in range(mid_channels):
+        # conv1 channel c: 3x3 over the 1-channel input, (th+2, W+2)
+        h1c = jnp.zeros_like(shifts[0][0])
+        for ky in range(3):
+            for kx in range(3):
+                h1c = h1c + w1_ref[ky * 3 + kx, c] * shifts[ky][kx]
+        h1c = h1c + b1_ref[0, c]
+        h1c = jnp.where(h1c >= 0, h1c, LEAKY_ALPHA * h1c)
+        h1c = jnp.where(inside, h1c, 0.0)
+        # conv2 contribution of channel c, (th, W)
+        for ky in range(3):
+            for kx in range(3):
+                out = out + (w2_ref[ky * 3 + kx, c]
+                             * h1c[ky:ky + th, kx:kx + wpad - 4])
     out = out + b2_ref[0, 0]
     out_ref[...] = 1.0 / (1.0 + jnp.exp(-out))
 
@@ -89,10 +91,10 @@ def fused_monochrome(x, w1, b1, w2, b2, *, strip_h=64, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),          # whole padded page
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # scalar weights
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((strip_h, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -39,3 +39,35 @@ def replicate_params(params, mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(
         lambda p: jax.device_put(jnp.asarray(p), sharding), params)
+
+
+def shard_cascade_stage(fn, mesh, n_replicated):
+    """jit a cascade stage for multi-chip serving: the first
+    `n_replicated` args (params pytree, the page/crop stack every sample
+    may reference) replicate across the mesh; every later per-sample arg
+    shards over 'data'.  Outputs shard over 'data' — each chip processes
+    its share of the launch batch; XLA inserts the gathers (e.g. when a
+    data-sharded crop stack from the paragraph stage re-enters replicated
+    in the line stage) automatically."""
+    replicated = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P('data'))
+
+    def shardings(args):
+        return ((replicated,) * n_replicated
+                + (data,) * (len(args) - n_replicated))
+
+    jit_cache = {}
+
+    def wrapped(*args):
+        key = len(args)
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(fn, in_shardings=shardings(args),
+                                     out_shardings=data)
+        placed = [
+            jax.device_put(jnp.asarray(a),
+                           replicated if i < n_replicated else data)
+            if not isinstance(a, dict) else a
+            for i, a in enumerate(args)]
+        return jit_cache[key](*placed)
+
+    return wrapped
