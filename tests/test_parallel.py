@@ -129,3 +129,56 @@ def test_sharded_front_matches_single_device():
     m_b, p_b = pipe_b._front(pipe_b.front_params, batch)
     np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
     np.testing.assert_array_equal(np.asarray(p_a), np.asarray(p_b))
+
+
+@pytest.fixture(scope='module')
+def _trained_pages():
+    import json
+    import random
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    from univer_ocr_tpu.models.datasets import GeneratorDataset
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+    random.seed(23)
+    np.random.seed(23)
+    dataset = GeneratorDataset(2, 720, 480)
+    pages = [dataset.get(i, layer_tags=['image'])['image']
+             .astype(np.float32) for i in range(2)]
+    return weights, pages
+
+
+def test_sharded_pipeline_text_matches_single_device(_trained_pages):
+    """FULL OCRPipeline over the virtual mesh (front + Line + Char all
+    sharded over 'data') must decode exactly the single-device text."""
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    weights, pages = _trained_pages
+    shape = (1, 496, 736, 1)
+    single = OCRPipeline(shape, weights=weights, chunk=2, workers=2)
+    expected = single.ocr_pages(pages)
+    assert any(any(para) for page in expected for para in page), \
+        'trained checkpoint decoded nothing — test would be vacuous'
+
+    mesh = make_mesh(4, model_parallel=1)
+    sharded = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
+                          mesh=mesh)
+    assert sharded.ocr_pages(pages) == expected
+    # partial tail chunk: 1 page must still divide over 4 data shards
+    assert sharded.ocr_pages(pages[:1]) == expected[:1]
+
+
+def test_sharded_device_cascade_text_matches_single_device(_trained_pages):
+    """device_cascade=True over the mesh: paragraph/line gather stages
+    shard over 'data' with the page/crop stacks as replicated sources."""
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    weights, pages = _trained_pages
+    shape = (1, 496, 736, 1)
+    single = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
+                         device_cascade=True)
+    expected = single.ocr_pages(pages)
+
+    mesh = make_mesh(4, model_parallel=1)
+    sharded = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
+                          device_cascade=True, mesh=mesh)
+    assert sharded.ocr_pages(pages) == expected

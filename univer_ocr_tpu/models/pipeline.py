@@ -187,18 +187,31 @@ class OCRPipeline:
                 m = jnp.round(m * 255.0).astype(jnp.uint8)
             return m, p_mask
 
+        self.mesh = mesh
+        line_fwd = partial(line_forward_masked, prefix='Line',
+                           precision=precision)
         if mesh is not None:
-            # multi-chip serving: page batch sharded over the 'data' axis,
-            # params replicated (parallel/serving.py)
+            # multi-chip serving: every launch batch shards over the
+            # 'data' axis, params replicated (parallel/serving.py).  The
+            # fixed DEVICE_BATCH and the chunked front batch must divide
+            # across the data shards (ocr_pages pads the front batch).
             from ..parallel.serving import (replicate_params,
                                             shard_fn_over_batch)
+            n_data = mesh.shape.get('data', 1)
+            assert self.DEVICE_BATCH % n_data == 0, (
+                f'DEVICE_BATCH={self.DEVICE_BATCH} must divide over the '
+                f'data axis ({n_data} shards)')
             self.front_params = replicate_params(self.front_params, mesh)
+            self.line_model.params = replicate_params(
+                self.line_model.params, mesh)
+            self.char_model.params = replicate_params(
+                self.char_model.params, mesh)
             self._front = shard_fn_over_batch(front, mesh, n_batch_args=1)
+            self._line_fn = shard_fn_over_batch(line_fwd, mesh,
+                                                n_batch_args=3)
         else:
             self._front = jax.jit(front)
-        self.mesh = mesh
-        self._line_fn = jax.jit(partial(line_forward_masked, prefix='Line',
-                                        precision=precision))
+            self._line_fn = jax.jit(line_fwd)
 
         def line_masks(params, x_u8, h_valid, w_valid):
             x = x_u8.astype(jnp.float32) / 255.0
@@ -227,7 +240,12 @@ class OCRPipeline:
             mask = (pred > 0.5 * (mean + mx)) & valid
             return jnp.packbits(mask.astype(jnp.uint8), axis=2)
 
-        self._line_masks_fn = jax.jit(line_masks)
+        if mesh is not None:
+            from ..parallel.serving import shard_fn_over_batch
+            self._line_masks_fn = shard_fn_over_batch(line_masks, mesh,
+                                                      n_batch_args=3)
+        else:
+            self._line_masks_fn = jax.jit(line_masks)
 
         char_head = 'pallas' if use_pallas else 'xla'
 
@@ -243,8 +261,6 @@ class OCRPipeline:
             valid = jnp.max(logits, axis=-1) != 0.0
             return ids, valid
 
-        self._char_fn = jax.jit(char_ids)
-
         # --- device-resident cascade programs (device_cascade=True) ------
         # front: monochrome map STAYS in HBM; only the bit-packed
         # paragraph mask ships to host (1/32nd the f32 bytes)
@@ -256,11 +272,28 @@ class OCRPipeline:
             p_mask = (p > mean).astype(jnp.uint8)
             return m, jnp.packbits(p_mask, axis=2)
 
-        self._front_resident = jax.jit(front_resident)
-        self._paragraph_stage = jax.jit(
-            partial(paragraph_stage, precision=precision))
-        self._paragraph_stage_fast = jax.jit(
-            partial(paragraph_stage_fast, precision=precision))
+        if mesh is not None:
+            from ..parallel.serving import (shard_cascade_stage,
+                                            shard_fn_over_batch)
+            self._char_fn = shard_fn_over_batch(char_ids, mesh,
+                                                n_batch_args=2)
+            self._front_resident = shard_fn_over_batch(front_resident,
+                                                       mesh, n_batch_args=1)
+            # paragraph/line stages: the page/crop stack (arg 1) is a
+            # shared gather source -> replicated; per-plan vectors shard
+            self._paragraph_stage = shard_cascade_stage(
+                partial(paragraph_stage, precision=precision), mesh,
+                n_replicated=2)
+            self._paragraph_stage_fast = shard_cascade_stage(
+                partial(paragraph_stage_fast, precision=precision), mesh,
+                n_replicated=2)
+        else:
+            self._char_fn = jax.jit(char_ids)
+            self._front_resident = jax.jit(front_resident)
+            self._paragraph_stage = jax.jit(
+                partial(paragraph_stage, precision=precision))
+            self._paragraph_stage_fast = jax.jit(
+                partial(paragraph_stage_fast, precision=precision))
         self._pad_stack = jax.jit(lambda m: jnp.pad(
             m, ((0, 0), (self.STACK_PAD, self.line_shape_menu[-1][0]),
                 (self.STACK_PAD, self.line_shape_menu[-1][1]), (0, 0))))
@@ -281,7 +314,12 @@ class OCRPipeline:
             valid = jnp.max(logits, axis=-1) != 0.0
             return jnp.where(valid, ids, 255).astype(jnp.uint8)
 
-        self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
+        if mesh is not None:
+            from ..parallel.serving import shard_cascade_stage
+            self._line_stage = shard_cascade_stage(
+                line_stage, mesh, n_replicated=2, static_argnums=(13, 14))
+        else:
+            self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
         self._pool = ThreadPoolExecutor(max_workers=workers)
 
     # ------------------------------------------------------------------
@@ -601,6 +639,14 @@ class OCRPipeline:
         """One chunk, device-resident: host work is CCL + geometry over
         bit-packed masks; every pixel transform is a device slice/matmul."""
         padded_dev = self._pad_stack(mono_dev)
+        if self.mesh is not None:
+            # all-gather the page stacks ONCE per chunk: every later
+            # gather program reads them as a replicated source (device_put
+            # onto the already-replicated array is then a no-op per launch)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            mono_dev = jax.device_put(mono_dev, rep)
+            padded_dev = jax.device_put(padded_dev, rep)
         para = np.unpackbits(para_bits, axis=2)
         para = para[:, :, :self.page_shape[2], 0]
 
@@ -616,6 +662,10 @@ class OCRPipeline:
         texts = {}                      # plan index -> [line text]
         char_launches = []
         for sel, crops_dev, packed_dev in launches:
+            if self.mesh is not None:
+                # crop stack becomes the line stage's shared gather
+                # source: all-gather once per paragraph launch
+                crops_dev = jax.device_put(crops_dev, rep)
             bands = np.unpackbits(np.asarray(packed_dev), axis=2)
 
             def plan_slot(bi):
@@ -703,6 +753,7 @@ class OCRPipeline:
         front_fn = (self._front_resident if self.device_cascade
                     else self._front)
         front_params = self.front_params
+        n_data = self.mesh.shape.get('data', 1) if self.mesh else 1
         fronts = []
         for start in range(0, len(pages), self.chunk):
             chunk = pages[start:start + self.chunk]
@@ -710,6 +761,13 @@ class OCRPipeline:
                 np.asarray(np.asarray(p) * 255.0, np.uint8)
                 if np.asarray(p).dtype != np.uint8 else np.asarray(p)
                 for p in chunk])
+            if batch.shape[0] % n_data:
+                # a partial tail chunk must still divide over the data
+                # shards; blank pages yield no paragraphs and the host
+                # loops only read the first len(chunk) rows
+                pad = n_data - batch.shape[0] % n_data
+                batch = np.concatenate(
+                    [batch, np.zeros((pad,) + batch.shape[1:], np.uint8)])
             fronts.append(
                 (chunk, front_fn(front_params, jnp.asarray(batch))))
 

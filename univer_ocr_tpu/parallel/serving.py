@@ -41,33 +41,38 @@ def replicate_params(params, mesh):
         lambda p: jax.device_put(jnp.asarray(p), sharding), params)
 
 
-def shard_cascade_stage(fn, mesh, n_replicated):
+def shard_cascade_stage(fn, mesh, n_replicated, static_argnums=()):
     """jit a cascade stage for multi-chip serving: the first
     `n_replicated` args (params pytree, the page/crop stack every sample
     may reference) replicate across the mesh; every later per-sample arg
     shards over 'data'.  Outputs shard over 'data' — each chip processes
-    its share of the launch batch; XLA inserts the gathers (e.g. when a
-    data-sharded crop stack from the paragraph stage re-enters replicated
-    in the line stage) automatically."""
+    its share of the launch batch; XLA inserts the collectives (e.g. the
+    all-gather when a data-sharded crop stack from the paragraph stage
+    re-enters replicated in the line stage) automatically."""
     replicated = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P('data'))
-
-    def shardings(args):
-        return ((replicated,) * n_replicated
-                + (data,) * (len(args) - n_replicated))
+    static_argnums = tuple(static_argnums)
 
     jit_cache = {}
 
     def wrapped(*args):
-        key = len(args)
+        statics = tuple(args[i] for i in static_argnums)
+        key = (len(args), statics)
         if key not in jit_cache:
-            jit_cache[key] = jax.jit(fn, in_shardings=shardings(args),
-                                     out_shardings=data)
-        placed = [
-            jax.device_put(jnp.asarray(a),
-                           replicated if i < n_replicated else data)
-            if not isinstance(a, dict) else a
-            for i, a in enumerate(args)]
+            in_sh = tuple(
+                replicated if i < n_replicated else data
+                for i in range(len(args)) if i not in static_argnums)
+            jit_cache[key] = jax.jit(fn, in_shardings=in_sh,
+                                     out_shardings=data,
+                                     static_argnums=static_argnums)
+        placed = []
+        for i, a in enumerate(args):
+            if i in static_argnums or isinstance(a, dict):
+                placed.append(a)
+            else:
+                placed.append(jax.device_put(
+                    jnp.asarray(a),
+                    replicated if i < n_replicated else data))
         return jit_cache[key](*placed)
 
     return wrapped
