@@ -1,0 +1,85 @@
+"""Per-stage wall-clock breakdown of the device-cascade serving path.
+
+Runs the same workload as bench.py (synthetic 720x480 pages, trained
+checkpoint) with OCRPipeline.timers attached, printing where the chunk
+loop actually spends its time (dispatch vs sync-pull vs host geometry)
+plus device-launch counts.  Usage:
+
+    python scripts/profile_cascade.py [n_pages] [--host-cascade] [--f32]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_pages=32):
+    from univer_ocr_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+    import jax
+    print('devices:', jax.devices(), file=sys.stderr)
+
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    from univer_ocr_tpu.models.train_data_generator import (DataGenerator,
+                                                            generate_picture)
+    from univer_ocr_tpu.models.datasets import encode_layers
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    from univer_ocr_tpu.utils.profiling import StageTimers
+
+    gen = DataGenerator(generator_func=generate_picture,
+                        func_args=(720, 480, False))
+    gen.start()
+    pages = []
+    for _ in range(n_pages + 2):
+        images = gen.get_data()
+        layers = encode_layers(
+            {k: v.convert('L') for k, v in images.items() if k == 'image'})
+        pages.append(layers['image'].astype(np.float32))
+    gen.stop()
+
+    weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    pipeline = OCRPipeline(pages[0].shape, weights=weights, chunk=8,
+                           workers=8,
+                           device_cascade='--host-cascade' not in sys.argv,
+                           precision='highest' if '--f32' in sys.argv
+                           else 'bf16')
+    print('warmup...', file=sys.stderr)
+    pipeline.warmup()
+    pipeline.ocr_pages(pages[:2])
+
+    # count device launches by wrapping the jitted callables
+    counts = {}
+
+    def counted(name, fn):
+        def wrapper(*a, **k):
+            counts[name] = counts.get(name, 0) + 1
+            return fn(*a, **k)
+        return wrapper
+
+    for name in ('_front_resident', '_front', '_paragraph_stage',
+                 '_paragraph_stage_fast', '_line_stage', '_line_masks_fn',
+                 '_char_fn'):
+        setattr(pipeline, name, counted(name, getattr(pipeline, name)))
+
+    pipeline.timers = StageTimers()
+    t0 = time.time()
+    texts = pipeline.ocr_pages(pages[2:2 + n_pages])
+    elapsed = time.time() - t0
+    n_chars = sum(len(line) for text in texts
+                  for para in text for line in para)
+    print(f'{n_pages} pages in {elapsed:.2f}s -> '
+          f'{n_pages / elapsed:.2f} pages/s; {n_chars} chars')
+    print('launch counts:', counts)
+    pipeline.timers.print(prefix='  ')
+    tracked = sum(pipeline.timers.totals.values())
+    print(f'  (tracked {tracked:.2f}s of {elapsed:.2f}s)')
+
+
+if __name__ == '__main__':
+    args = [a for a in sys.argv[1:] if not a.startswith('--')]
+    main(int(args[0]) if args else 32)

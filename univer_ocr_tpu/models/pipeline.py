@@ -321,6 +321,15 @@ class OCRPipeline:
         else:
             self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
         self._pool = ThreadPoolExecutor(max_workers=workers)
+        #: optional StageTimers (utils/profiling.py); set to instrument
+        #: the cascade's dispatch/sync points at ~zero cost when unset
+        self.timers = None
+
+    def _track(self, name):
+        if self.timers is None:
+            import contextlib
+            return contextlib.nullcontext()
+        return self.timers.track(name)
 
     # ------------------------------------------------------------------
     def _crop_page(self, mono_pred, para_mask):
@@ -650,12 +659,14 @@ class OCRPipeline:
         para = np.unpackbits(para_bits, axis=2)
         para = para[:, :, :self.page_shape[2], 0]
 
-        plans = [p
-                 for page in range(n_pages)
-                 for p in self._page_paragraph_plans(page, para[page])]
+        with self._track('host_paragraph_plans'):
+            plans = [p
+                     for page in range(n_pages)
+                     for p in self._page_paragraph_plans(page, para[page])]
 
-        launches = self._dispatch_paragraph_stage(mono_dev, padded_dev,
-                                                  plans)
+        with self._track('dispatch_paragraph_stage'):
+            launches = self._dispatch_paragraph_stage(mono_dev, padded_dev,
+                                                      plans)
 
         # host: band geometry per paragraph (threaded), then dispatch all
         # char launches before pulling any result
@@ -666,23 +677,28 @@ class OCRPipeline:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
-            bands = np.unpackbits(np.asarray(packed_dev), axis=2)
+            with self._track('pull_band_masks'):
+                bands = np.unpackbits(np.asarray(packed_dev), axis=2)
 
             def plan_slot(bi):
                 plan = plans[sel[bi]]
                 view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
                 return [(bi, lp) for lp in self._plan_lines(view)]
 
-            per_slot = list(self._pool.map(plan_slot, range(len(sel))))
-            flat = [item for slot_plans in per_slot for item in slot_plans]
-            refs = self._dispatch_line_stage(crops_dev, flat)
+            with self._track('host_line_plans'):
+                per_slot = list(self._pool.map(plan_slot, range(len(sel))))
+                flat = [item for slot_plans in per_slot
+                        for item in slot_plans]
+            with self._track('dispatch_line_stage'):
+                refs = self._dispatch_line_stage(crops_dev, flat)
             char_launches.append((sel, flat, refs))
 
         results = [[] for _ in range(n_pages)]
         for sel, flat, refs in char_launches:
             line_texts = [None] * len(flat)
             for ref_sel, ids_dev in refs:
-                ids = np.asarray(ids_dev)
+                with self._track('pull_char_ids'):
+                    ids = np.asarray(ids_dev)
                 for bi, ref in enumerate(ref_sel):
                     w = flat[ref][1]['w_valid']
                     row = ids[bi, :w]
@@ -778,7 +794,8 @@ class OCRPipeline:
             pulled = (self._pool.submit(np.asarray, fronts[0][1][1])
                       if fronts else None)
             for i, (chunk, (mono_dev, _)) in enumerate(fronts):
-                para_bits = pulled.result()
+                with self._track('pull_para_bits'):
+                    para_bits = pulled.result()
                 if i + 1 < len(fronts):
                     pulled = self._pool.submit(np.asarray,
                                                fronts[i + 1][1][1])

@@ -146,6 +146,10 @@ def train_model(use_gpu=False, show_progress_bar=False,
     for mode, lr, lr_step, epochs in modes:
         print(f'Training mode: {mode.name}')
 
+        # dashboard step badge: dataset (re)build phase (the reference
+        # fires 'generating_data' before its epoch loop,
+        # templates/train.html:199-203)
+        emit_status('generating_data')
         random_train_dataset = RandomSelectDataset(train_size, train_dataset())
         random_validation_dataset = RandomSelectDataset(
             val_size, validation_dataset())

@@ -427,12 +427,22 @@ class Model(BaseModel):
         opt_state = self._ensure_opt_state(trainable)
 
         fn = self._get_step('train', _shape_sig(X) + _shape_sig(y))
+        # dashboard timing: the jitted step fuses fwd+bwd into one XLA
+        # program, so the honest split is 'forward' = host dispatch time
+        # (async) and 'backward' = waiting out the device execution
+        # (progress_tracker.py module docstring)
+        tracker = self.progress_tracker
+        tracker.start_tracking(self.name, 'forward')
         new_params, new_opt_state, out_losses, reg_loss, preds = fn(
             params, opt_state, jnp.asarray(opt.lr, dtype=jnp.float32), X, y)
+        tracker.stop_tracking(self.name, 'forward')
+        tracker.start_tracking(self.name, 'backward')
+        out_losses = [float(l) for l in out_losses]
+        tracker.stop_tracking(self.name, 'backward')
         self.params = new_params
         self.opt_state = new_opt_state
         self.layers_outputs = {k: preds[k] for k in range(self.outputs_count)}
-        return {'output_losses': [float(l) for l in out_losses],
+        return {'output_losses': out_losses,
                 'regularization_loss': float(reg_loss)}
 
     def test(self, X, y):
@@ -442,9 +452,13 @@ class Model(BaseModel):
         X = self._cast(X)
         y = self._cast(make_list_if_not(y))
         fn = self._get_step('test', _shape_sig(X) + _shape_sig(y))
+        tracker = self.progress_tracker
+        tracker.start_tracking(self.name, 'forward')
         out_losses, reg_loss, preds = fn(self.params, X, y)
+        out_losses = [float(l) for l in out_losses]
+        tracker.stop_tracking(self.name, 'forward')
         self.layers_outputs = {k: preds[k] for k in range(self.outputs_count)}
-        return {'output_losses': [float(l) for l in out_losses]}
+        return {'output_losses': out_losses}
 
     def predict(self, X):
         return self.forward(X)

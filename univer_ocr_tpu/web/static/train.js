@@ -1,15 +1,58 @@
 /* Training dashboard client: plain-WebSocket JSON protocol carrying the
-   reference's event vocabulary (message / info / progress_tracker). */
+   reference's event vocabulary (message / info / progress_tracker with
+   reset, generating_data, training, validating, epoch, train_iteration,
+   val_iteration, disable/enable_status_update, forward_backward —
+   templates/train.html:193-263 of the reference). */
 (function () {
   var ws = new WebSocket('ws://' + location.host + '/train-ws');
   var log = document.getElementById('log');
   var layerInfo = {};
+  var layerOrder = [];
+  var updateStatus = true;
+  var bars = {
+    epoch: {current: 0, total: 1},
+    train: {current: 0, total: 1},
+    val: {current: 0, total: 1}
+  };
 
-  function setBar(prefix, data) {
-    var pct = data.total ? (100 * data.current / data.total) : 0;
-    document.getElementById(prefix + '-bar').style.width = pct + '%';
-    document.getElementById(prefix + '-label').textContent =
-      data.current + ' / ' + data.total;
+  function touch(name) {
+    if (!layerInfo[name]) {
+      layerInfo[name] = {};
+      layerOrder.push(name);
+    }
+    return layerInfo[name];
+  }
+
+  function setStep(text, cls) {
+    var el = document.getElementById('step');
+    el.textContent = text;
+    el.className = 'step' + (cls ? ' ' + cls : '');
+  }
+
+  function updateBars() {
+    // reference layout: one bar split into train(blue)+val(green)
+    // segments over the combined iteration count, epochs bar below
+    var itersTotal = bars.train.total + bars.val.total;
+    document.getElementById('train-bar').style.width =
+      (itersTotal ? 100 * bars.train.current / itersTotal : 0) + '%';
+    document.getElementById('val-bar').style.width =
+      (itersTotal ? 100 * bars.val.current / itersTotal : 0) + '%';
+    document.getElementById('epoch-bar').style.width =
+      (bars.epoch.total ? 100 * bars.epoch.current / bars.epoch.total : 0)
+      + '%';
+    ['epoch', 'train', 'val'].forEach(function (k) {
+      document.getElementById(k + '-label').textContent =
+        bars[k].current + ' / ' + bars[k].total;
+    });
+    document.getElementById('progressbars').title =
+      'Epochs: ' + bars.epoch.current + '/' + bars.epoch.total +
+      '\nIterations (train): ' + bars.train.current + '/' + bars.train.total +
+      '\nIterations (validation): ' + bars.val.current + '/' + bars.val.total;
+  }
+
+  function setBar(key, data) {
+    bars[key] = {current: data.current || 0, total: data.total || 0};
+    updateBars();
   }
 
   function appendLog(text) {
@@ -17,26 +60,40 @@
     log.scrollTop = log.scrollHeight;
   }
 
+  function timingCell(cell, ev) {
+    if (!ev || !ev.counter) {
+      cell.textContent = 'False';
+      cell.className = '';
+      return;
+    }
+    cell.textContent = ev.time + (ev.counter > 1 ? ' x' + ev.counter : '');
+    cell.className = ev.done ? 'done' : '';
+  }
+
   function rebuildTable() {
     var table = document.getElementById('layer-table');
     while (table.rows.length > 1) table.deleteRow(1);
-    Object.keys(layerInfo).forEach(function (name) {
+    layerOrder.forEach(function (name) {
       var info = layerInfo[name];
       var row = table.insertRow(-1);
       row.insertCell(-1).textContent = name;
-      row.insertCell(-1).textContent = (info.shapes || []).join(' ');
+      var shapes = row.insertCell(-1);
+      (info.shapes || []).forEach(function (s, i) {
+        if (i) shapes.appendChild(document.createElement('br'));
+        shapes.appendChild(document.createTextNode(s));
+      });
       row.insertCell(-1).textContent = info.rf || '';
-      var fwd = row.insertCell(-1);
-      var bwd = row.insertCell(-1);
-      if (info.forward) {
-        fwd.textContent = info.forward.time + ' x' + info.forward.counter;
-        if (info.forward.done) fwd.className = 'done';
-      }
-      if (info.backward) {
-        bwd.textContent = info.backward.time + ' x' + info.backward.counter;
-        if (info.backward.done) bwd.className = 'done';
-      }
+      timingCell(row.insertCell(-1), info.forward);
+      timingCell(row.insertCell(-1), info.backward);
     });
+  }
+
+  function resetStatus() {
+    layerOrder.forEach(function (name) {
+      delete layerInfo[name].forward;
+      delete layerInfo[name].backward;
+    });
+    rebuildTable();
   }
 
   ws.onmessage = function (e) {
@@ -45,40 +102,59 @@
     if (msg.event === 'message') {
       appendLog(typeof data === 'string' ? data : JSON.stringify(data));
     } else if (msg.event === 'info') {
-      (data.layer_names || []).forEach(function (name) {
-        layerInfo[name] = layerInfo[name] || {};
-      });
+      (data.layer_names || []).forEach(touch);
       Object.keys(data.output_shapes || {}).forEach(function (name) {
-        layerInfo[name] = layerInfo[name] || {};
-        layerInfo[name].shapes = data.output_shapes[name];
+        touch(name).shapes = data.output_shapes[name];
       });
       Object.keys(data.receptive_fields || {}).forEach(function (name) {
-        layerInfo[name] = layerInfo[name] || {};
-        layerInfo[name].rf = data.receptive_fields[name];
+        touch(name).rf = data.receptive_fields[name];
       });
       rebuildTable();
     } else if (msg.event === 'progress_tracker') {
-      if (data.type === 'epoch') setBar('epoch', data.data || data);
-      else if (data.type === 'train_iteration') setBar('train', data.data || data);
-      else if (data.type === 'val_iteration') setBar('val', data.data || data);
-      else if (data.type === 'forward_backward') {
+      var type = data.type;
+      var payload = data.data || data;
+      if (type === 'reset') resetStatus();
+      else if (type === 'generating_data') setStep('Generating data', 'warn');
+      else if (type === 'training') setStep('Training', 'primary');
+      else if (type === 'validating') setStep('Validating', 'success');
+      else if (type === 'epoch') setBar('epoch', payload);
+      else if (type === 'train_iteration') setBar('train', payload);
+      else if (type === 'val_iteration') setBar('val', payload);
+      else if (type === 'disable_status_update') updateStatus = false;
+      else if (type === 'enable_status_update') updateStatus = true;
+      else if (type === 'forward_backward') {
+        if (!updateStatus) return;
         Object.keys(data.data || {}).forEach(function (name) {
-          layerInfo[name] = layerInfo[name] || {};
           var events = data.data[name];
-          if (events.forward) layerInfo[name].forward = events.forward;
-          if (events.backward) layerInfo[name].backward = events.backward;
+          var info = touch(name);
+          if (events.forward) info.forward = events.forward;
+          if (events.backward) info.backward = events.backward;
         });
         rebuildTable();
+      } else {
+        appendLog(JSON.stringify(payload) + '\n');
       }
     } else if (msg.event === 'stopped') {
-      document.getElementById('status').textContent = 'stopped';
+      setStep('stopped', '');
     }
   };
 
   document.getElementById('start').onclick = function () {
+    appendLog(new Array(81).join('=') + '\n\n');
     ws.send(JSON.stringify({event: 'start', data: {
       use_gpu: document.getElementById('use_gpu').checked}}));
-    document.getElementById('status').textContent = 'running...';
+    setStep('starting...', '');
+  };
+  document.getElementById('clear').onclick = function () {
+    setStep('', '');
+    bars = {epoch: {current: 0, total: 1},
+            train: {current: 0, total: 1},
+            val: {current: 0, total: 1}};
+    updateBars();
+    layerInfo = {};
+    layerOrder = [];
+    rebuildTable();
+    log.value = '';
   };
   document.getElementById('stop').onclick = function () {
     ws.send(JSON.stringify({event: 'stop'}));
