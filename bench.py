@@ -63,9 +63,14 @@ def main(n_pages=32, warmup=2):
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     device_cascade = '--host-cascade' not in sys.argv
     precision = 'highest' if '--f32' in sys.argv else 'bf16'
-    log('device_cascade:', device_cascade, 'precision:', precision)
-    pipeline = OCRPipeline(page_shape, weights=weights, chunk=8, workers=8,
-                           device_cascade=device_cascade,
+    chunk = 16
+    for a in sys.argv[1:]:
+        if a.startswith('--chunk='):
+            chunk = int(a.split('=')[1])
+    log('device_cascade:', device_cascade, 'precision:', precision,
+        'chunk:', chunk)
+    pipeline = OCRPipeline(page_shape, weights=weights, chunk=chunk,
+                           workers=8, device_cascade=device_cascade,
                            precision=precision)
 
     # ---- warmup (compiles the fixed program menu; persistently cached) ---

@@ -42,8 +42,12 @@ def main(n_pages=32):
         pages.append(layers['image'].astype(np.float32))
     gen.stop()
 
+    chunk = 8
+    for a in sys.argv[1:]:
+        if a.startswith('--chunk='):
+            chunk = int(a.split('=')[1])
     weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
-    pipeline = OCRPipeline(pages[0].shape, weights=weights, chunk=8,
+    pipeline = OCRPipeline(pages[0].shape, weights=weights, chunk=chunk,
                            workers=8,
                            device_cascade='--host-cascade' not in sys.argv,
                            precision='highest' if '--f32' in sys.argv
@@ -78,6 +82,46 @@ def main(n_pages=32):
     pipeline.timers.print(prefix='  ')
     tracked = sum(pipeline.timers.totals.values())
     print(f'  (tracked {tracked:.2f}s of {elapsed:.2f}s)')
+
+    # wire timeline: per-tag bytes + busy time (union of intervals)
+    from collections import defaultdict
+    tl = pipeline.timeline
+    if tl:
+        by_tag = defaultdict(list)
+        for tag, a, b, nb in tl:
+            by_tag[tag].append((a, b, nb))
+        all_iv = []
+        for tag, items in sorted(by_tag.items()):
+            tot_b = sum(nb for _, _, nb in items)
+            span = sum(b - a for a, b, _ in items)
+            ivs = sorted((a, b) for a, b, _ in items)
+            union = 0.0
+            cur_a, cur_b = ivs[0]
+            for a, b in ivs[1:]:
+                if a > cur_b:
+                    union += cur_b - cur_a
+                    cur_a, cur_b = a, b
+                else:
+                    cur_b = max(cur_b, b)
+            union += cur_b - cur_a
+            all_iv += ivs
+            print(f'  wire[{tag}]: {tot_b / 1e6:.2f}MB in {len(items)} '
+                  f'pulls, busy(union) {union:.2f}s, sum {span:.2f}s, '
+                  f'{tot_b / union / 1e6:.1f}MB/s effective')
+        all_iv.sort()
+        union = 0.0
+        cur_a, cur_b = all_iv[0]
+        for a, b in all_iv[1:]:
+            if a > cur_b:
+                union += cur_b - cur_a
+                cur_a, cur_b = a, b
+            else:
+                cur_b = max(cur_b, b)
+        union += cur_b - cur_a
+        tot = sum(nb for _, _, _, nb in tl)
+        print(f'  wire[ALL D2H]: {tot / 1e6:.2f}MB, busy {union:.2f}s '
+              f'({tot / union / 1e6:.1f}MB/s), idle '
+              f'{elapsed - union:.2f}s of the timed run')
 
 
 if __name__ == '__main__':

@@ -277,3 +277,52 @@ def test_make_edge_detection():
     assert out.shape == (1, 8, 8, 1)
     # sharpen kernel on a constant image: interior stays 1
     np.testing.assert_allclose(out[0, 2:-2, 2:-2, 0], 1.0, rtol=1e-6)
+
+
+def test_resident_blob_crops_match_uploaded_blob():
+    """Single-component bboxes: the blob-free resident paragraph programs
+    must produce exactly the crops of the uploaded-blob programs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+
+    shape = (1, 64, 64, 1)
+    pipe = OCRPipeline(shape, weights=None, chunk=2, workers=1,
+                       device_cascade=True, precision='highest')
+    rs = np.random.RandomState(9)
+    pages = [np.ones(shape, np.float32) for _ in range(2)]
+    # paint one solid dark paragraph per page at different spots
+    pages[0][0, 8:30, 6:50, 0] = 0.0
+    pages[1][0, 20:44, 12:60, 0] = 0.0
+
+    texts_res = pipe.ocr_pages(pages)
+
+    # force the uploaded-blob path by monkeypatching needs_blob True
+    orig = pipe._page_paragraph_plans
+
+    def force_blob(page_idx, para2d):
+        plans = orig(page_idx, para2d)
+        from scipy import ndimage as ndi
+        labels, _ = ndi.label(para2d > 0)
+        for p in plans:
+            if not p['needs_blob']:
+                sl = (slice(p['y0'], p['y0'] + p['h']),
+                      slice(p['x0'], p['x0'] + p['w']))
+                region = labels[sl]
+                lab = region[region > 0]
+                label_id = int(lab[0]) if len(lab) else 1
+                buf = np.zeros(p['menu'], bool)
+                blob = labels[sl] == label_id
+                if p['rotated']:
+                    buf[:p['h'], :p['w']] = blob[:p['menu'][0],
+                                                 :p['menu'][1]]
+                else:
+                    buf[p['py']:p['py'] + p['h'],
+                        p['px']:p['px'] + p['w']] = blob
+                p['needs_blob'] = True
+                p['blob'] = np.packbits(buf, axis=1)
+        return plans
+
+    pipe._page_paragraph_plans = force_blob
+    texts_blob = pipe.ocr_pages(pages)
+    assert texts_res == texts_blob

@@ -234,8 +234,12 @@ def zoomed_line_crops(crop_stack, para_idx,
 
 def _band_masks(params, crops, h_valid, w_valid, precision=None):
     """Masked Line forward + the reference's band thresholding
-    (arr > 0.5*(mean+max) over the valid region, interpreter.py:437-438),
-    bit-packed along width for the D2H trip."""
+    (arr > 0.5*(mean+max) over the valid region, interpreter.py:437-438).
+
+    Returns the (B, H, W/8, 2) uint8 bit-packed masks.  (A compact
+    per-row run encoding was evaluated and rejected: 56% of nonempty band
+    rows carry 2-15 runs — word gaps — so the 1-bit planes are already
+    the minimal exact payload; scripts/band_stats.py.)"""
     pred = line_forward_masked(params, crops, h_valid, w_valid,
                                prefix='Line', precision=precision)
     pred = _mask_hw(pred, h_valid, w_valid)
@@ -248,6 +252,7 @@ def _band_masks(params, crops, h_valid, w_valid, precision=None):
     mean = jnp.sum(pred, axis=(1, 2), keepdims=True) / (hv * wv)
     peak = jnp.max(pred, axis=(1, 2), keepdims=True)
     bands = (pred > 0.5 * (mean + peak)) & valid
+
     return jnp.packbits(bands.astype(jnp.uint8), axis=2)
 
 
@@ -287,6 +292,136 @@ def paragraph_stage_fast(params, padded_stack, blob_bits, page_idx,
     band thresholding.  Returns (crops, packed_bands)."""
     crops = level_paragraph_crops(padded_stack, blob_bits, page_idx,
                                   start_y, start_x)
+    packed = _band_masks(params, crops, h_valid, w_valid,
+                         precision=precision)
+    return crops, packed
+
+
+def level_paragraph_crops_resident(padded_stack, padded_para, page_idx,
+                                   start_y, start_x, src_h, src_w,
+                                   pad_y, pad_x, out_hb, out_wb):
+    """Level paragraph crops with the blob taken from the DEVICE-RESIDENT
+    paragraph mask instead of a host-uploaded bit plane.
+
+    Valid exactly when the paragraph's bbox contains no pixel of any
+    OTHER component (the host checks this against its labels map): then
+    blob == para_mask ∩ bbox, and the same dynamic slice that positions
+    the monochrome crop positions the mask.  Saves the (B, HB, WB/8)
+    per-launch H2D upload — measured at ~20MB/32 pages, as large as the
+    entire band-mask D2H (scripts/profile_cascade.py wire timeline).
+
+    pad_y/pad_x/src_h/src_w replicate the host's make_divisible_by CENTER
+    placement: content occupies rows [pad_y, pad_y+src_h) of the bucket.
+    """
+    def one(args):
+        page, sy, sx = args
+        zero = jnp.zeros((), page.dtype)
+        mono = lax.dynamic_slice(
+            padded_stack, (page, sy, sx, zero), (1, out_hb, out_wb, 1))
+        para = lax.dynamic_slice(
+            padded_para, (page, sy, sx, zero), (1, out_hb, out_wb, 1))
+        return mono[0, :, :, 0], para[0, :, :, 0]
+
+    mono, para = lax.map(one, (page_idx, start_y, start_x))
+    B = page_idx.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (B, out_hb, out_wb), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (B, out_hb, out_wb), 2)
+
+    def col(v):
+        return jnp.asarray(v, jnp.int32).reshape(B, 1, 1)
+
+    rect = ((rows >= col(pad_y)) & (rows < col(pad_y) + col(src_h))
+            & (cols >= col(pad_x)) & (cols < col(pad_x) + col(src_w)))
+    return (mono * para * rect.astype(mono.dtype))[..., None]
+
+
+def paragraph_stage_resident(params, padded_stack, padded_para, page_idx,
+                             start_y, start_x, src_h, src_w, pad_y, pad_x,
+                             h_valid, w_valid, out_hb, out_wb,
+                             precision=None):
+    """paragraph_stage_fast without the blob upload (single-component
+    bboxes; see level_paragraph_crops_resident)."""
+    crops = level_paragraph_crops_resident(
+        padded_stack, padded_para, page_idx, start_y, start_x,
+        src_h, src_w, pad_y, pad_x, out_hb, out_wb)
+    packed = _band_masks(params, crops, h_valid, w_valid,
+                         precision=precision)
+    return crops, packed
+
+
+def rotated_paragraph_crops_resident(mono_stack, para_stack, page_idx,
+                                     src_y0, src_x0, src_h, src_w,
+                                     cos_a, sin_a, off_y, off_x,
+                                     out_y0, out_x0, out_h, out_w,
+                                     pad_y, pad_x, out_hb, out_wb):
+    """rotated_paragraph_crops with the blob sampled from the device-
+    resident paragraph mask (single-component bboxes only): the bilinear
+    gather reads mono and mask at the same source coordinates."""
+    B = page_idx.shape[0]
+    HB, WB = out_hb, out_wb
+
+    def col(v, dtype=jnp.float32):
+        return jnp.asarray(v, dtype).reshape(B, 1, 1)
+
+    grid_y = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 1)
+              + col(out_y0) - col(pad_y))
+    grid_x = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 2)
+              + col(out_x0) - col(pad_x))
+    cos_c, sin_c = col(cos_a), col(sin_a)
+    in_y = cos_c * grid_y + sin_c * grid_x + col(off_y)
+    in_x = -sin_c * grid_y + cos_c * grid_x + col(off_x)
+
+    y_floor = jnp.floor(in_y)
+    x_floor = jnp.floor(in_x)
+    wy = in_y - y_floor
+    wx = in_x - x_floor
+    y_base = y_floor.astype(jnp.int32)
+    x_base = x_floor.astype(jnp.int32)
+
+    pages = mono_stack[:, :, :, 0]
+    paras = para_stack[:, :, :, 0]
+    page_h, page_w = pages.shape[1], pages.shape[2]
+    page = page_idx.reshape(B, 1, 1).astype(jnp.int32)
+    sy0, sx0 = (col(src_y0, jnp.int32), col(src_x0, jnp.int32))
+    sh, sw = (col(src_h, jnp.int32), col(src_w, jnp.int32))
+
+    sh_f, sw_f = col(src_h), col(src_w)
+    in_domain = ((in_y >= 0) & (in_y <= sh_f - 1)
+                 & (in_x >= 0) & (in_x <= sw_f - 1))
+
+    def corner(dy, dx):
+        yy = jnp.minimum(y_base + dy, sh - 1)
+        xx = jnp.minimum(x_base + dx, sw - 1)
+        yy = jnp.maximum(yy, 0)
+        xx = jnp.maximum(xx, 0)
+        yp = jnp.clip(sy0 + yy, 0, page_h - 1)
+        xp = jnp.clip(sx0 + xx, 0, page_w - 1)
+        return pages[page, yp, xp] * paras[page, yp, xp]
+
+    top = corner(0, 0) * (1 - wx) + corner(0, 1) * wx
+    bottom = corner(1, 0) * (1 - wx) + corner(1, 1) * wx
+    value = top * (1 - wy) + bottom * wy
+
+    out_rows = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 1)
+    out_cols = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 2)
+    py, px = col(pad_y, jnp.int32), col(pad_x, jnp.int32)
+    in_slice = ((out_rows >= py) & (out_rows < py + col(out_h, jnp.int32))
+                & (out_cols >= px) & (out_cols < px + col(out_w, jnp.int32)))
+    return jnp.where(in_domain & in_slice, value, 0.0)[..., None]
+
+
+def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
+                                 src_y0, src_x0, src_h, src_w,
+                                 cos_a, sin_a, off_y, off_x,
+                                 out_y0, out_x0, out_h, out_w,
+                                 pad_y, pad_x, h_valid, w_valid,
+                                 out_hb, out_wb, precision=None):
+    """paragraph_stage without the blob upload (deskewed single-component
+    bboxes)."""
+    crops = rotated_paragraph_crops_resident(
+        mono_stack, para_stack, page_idx, src_y0, src_x0, src_h, src_w,
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
+        pad_y, pad_x, out_hb, out_wb)
     packed = _band_masks(params, crops, h_valid, w_valid,
                          precision=precision)
     return crops, packed

@@ -22,6 +22,7 @@ tests/test_pipeline.py.
 
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
+from threading import Thread
 
 import numpy as np
 
@@ -36,6 +37,8 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        rotate_array)
 from .bucketing import round_up
 from .device_cascade import (paragraph_stage, paragraph_stage_fast,
+                             paragraph_stage_resident,
+                             paragraph_stage_rot_resident,
                              rot90_inverse_affine, rotate_affine,
                              zoom_output_width, zoom_ratio,
                              zoomed_line_crops_matmul)
@@ -279,14 +282,20 @@ class OCRPipeline:
                                                 n_batch_args=2)
             self._front_resident = shard_fn_over_batch(front_resident,
                                                        mesh, n_batch_args=1)
-            # paragraph/line stages: the page/crop stack (arg 1) is a
-            # shared gather source -> replicated; per-plan vectors shard
+            # paragraph/line stages: the page/crop/mask stacks are
+            # shared gather sources -> replicated; per-plan vectors shard
             self._paragraph_stage = shard_cascade_stage(
                 partial(paragraph_stage, precision=precision), mesh,
                 n_replicated=2)
             self._paragraph_stage_fast = shard_cascade_stage(
                 partial(paragraph_stage_fast, precision=precision), mesh,
                 n_replicated=2)
+            self._paragraph_stage_res = shard_cascade_stage(
+                partial(paragraph_stage_resident, precision=precision),
+                mesh, n_replicated=3, static_argnums=(12, 13))
+            self._paragraph_stage_rot_res = shard_cascade_stage(
+                partial(paragraph_stage_rot_resident, precision=precision),
+                mesh, n_replicated=3, static_argnums=(20, 21))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
@@ -294,9 +303,28 @@ class OCRPipeline:
                 partial(paragraph_stage, precision=precision))
             self._paragraph_stage_fast = jax.jit(
                 partial(paragraph_stage_fast, precision=precision))
-        self._pad_stack = jax.jit(lambda m: jnp.pad(
-            m, ((0, 0), (self.STACK_PAD, self.line_shape_menu[-1][0]),
-                (self.STACK_PAD, self.line_shape_menu[-1][1]), (0, 0))))
+            self._paragraph_stage_res = jax.jit(
+                partial(paragraph_stage_resident, precision=precision),
+                static_argnums=(12, 13))
+            self._paragraph_stage_rot_res = jax.jit(
+                partial(paragraph_stage_rot_resident, precision=precision),
+                static_argnums=(20, 21))
+        W_page_pad = page_shape[2]
+
+        def prep_stacks(m, para_packed):
+            """Unpack the device-resident paragraph mask and pad both page
+            stacks for the level-crop dynamic slices."""
+            para = jnp.unpackbits(para_packed, axis=2)
+            para = para[:, :, :W_page_pad, :].astype(m.dtype)
+
+            def pad(x):
+                return jnp.pad(
+                    x, ((0, 0), (self.STACK_PAD, self.line_shape_menu[-1][0]),
+                        (self.STACK_PAD, self.line_shape_menu[-1][1]),
+                        (0, 0)))
+            return para, pad(m), pad(para)
+
+        self._prep_stacks = jax.jit(prep_stacks)
 
         def line_stage(params, crop_stack, para_idx, ratio_y, ratio_x,
                        w_out, a_yy, a_yx, b_y, a_xy, a_xx, b_x, w_valid,
@@ -321,15 +349,37 @@ class OCRPipeline:
         else:
             self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
         self._pool = ThreadPoolExecutor(max_workers=workers)
+        #: dedicated D2H pool: transfers are ~30ms round-trip each over
+        #: the tunnel regardless of size, so ALL pulls of a chunk fly
+        #: concurrently (device compute per program is <0.1ms)
+        self._xfer = ThreadPoolExecutor(max_workers=32)
         #: optional StageTimers (utils/profiling.py); set to instrument
         #: the cascade's dispatch/sync points at ~zero cost when unset
         self.timers = None
+        #: when timers are set, every D2H pull records
+        #: (tag, start, end, nbytes) here for wire-utilization analysis
+        self.timeline = []
 
     def _track(self, name):
         if self.timers is None:
             import contextlib
             return contextlib.nullcontext()
         return self.timers.track(name)
+
+    def _pull(self, arr, tag):
+        """Submit a D2H transfer to the transfer pool; on the profiling
+        path, record a wire-timeline entry."""
+        if self.timers is None:
+            return self._xfer.submit(np.asarray, arr)
+
+        def job():
+            import time
+            t0 = time.perf_counter()
+            out = np.asarray(arr)
+            self.timeline.append((tag, t0, time.perf_counter(),
+                                  out.nbytes))
+            return out
+        return self._xfer.submit(job)
 
     # ------------------------------------------------------------------
     def _crop_page(self, mono_pred, para_mask):
@@ -393,8 +443,10 @@ class OCRPipeline:
                 launches.append((idxs, fn(params, jnp.asarray(batch),
                                           jnp.asarray(hs), jnp.asarray(ws))))
 
-        for idxs, dev_out in launches:
-            out = np.asarray(dev_out)
+        futs = [(idxs, self._xfer.submit(np.asarray, dev_out))
+                for idxs, dev_out in launches]
+        for idxs, fut in futs:
+            out = fut.result()
             if self.quantized_transfers:
                 out = np.unpackbits(out, axis=2)
             for bi, i in enumerate(idxs):
@@ -435,9 +487,12 @@ class OCRPipeline:
                 launches.append((chunk_idx,
                                  self._char_fn(params, jnp.asarray(batch),
                                                jnp.asarray(ws))))
-        for chunk_idx, (ids_dev, valid_dev) in launches:
-            ids = np.asarray(ids_dev)
-            valid = np.asarray(valid_dev)
+        futs = [(chunk_idx, self._xfer.submit(np.asarray, ids_dev),
+                 self._xfer.submit(np.asarray, valid_dev))
+                for chunk_idx, (ids_dev, valid_dev) in launches]
+        for chunk_idx, ids_fut, valid_fut in futs:
+            ids = ids_fut.result()
+            valid = valid_fut.result()
             for bi, i in enumerate(chunk_idx):
                 w = lines[i].shape[2]
                 preds[i] = (ids[bi, :w], valid[bi, :w])
@@ -492,41 +547,59 @@ class OCRPipeline:
             out_h, hv = min(out_h, hb), min(hv, hb)
             out_w, wv = min(out_w, wb), min(wv, wb)
             rotated = angle is not None
-            buf = np.zeros((hb, wb), bool)
-            if rotated:
-                # gather path: blob in bbox-local coords at (0, 0)
-                buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
+            # when the bbox holds pixels of NO other component, the blob
+            # equals para_mask ∩ bbox — the device already has the mask
+            # resident, so the (B, HB, WB/8) per-launch H2D upload (the
+            # single largest wire payload of the cascade) is skipped
+            region = labels[sl]
+            needs_blob = bool(((region > 0) & (region != label_id)).any())
+            if needs_blob:
+                buf = np.zeros((hb, wb), bool)
+                if rotated:
+                    # gather path: blob in bbox-local coords at (0, 0)
+                    buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
+                else:
+                    # slice path: blob pre-aligned to the
+                    # make_divisible_by placement, so the multiply
+                    # positions AND masks the crop
+                    buf[py:py + h, px:px + w] = blob
+                packed_blob = np.packbits(buf, axis=1)
             else:
-                # slice path: blob pre-aligned to the make_divisible_by
-                # placement, so the multiply positions AND masks the crop
-                buf[py:py + h, px:px + w] = blob
+                packed_blob = None
             plans.append({
                 'page': page_idx, 'y0': sl[0].start, 'x0': sl[1].start,
                 'h': h, 'w': w, 'cos': cos_a, 'sin': sin_a,
                 'off_y': off[0], 'off_x': off[1], 'ry0': ry0, 'rx0': rx0,
                 'out_h': out_h, 'out_w': out_w, 'py': py, 'px': px,
                 'hv': hv, 'wv': wv, 'rotated': rotated,
+                'needs_blob': needs_blob,
                 'start_y': sl[0].start - py + self.STACK_PAD,
                 'start_x': sl[1].start - px + self.STACK_PAD,
-                'menu': (hb, wb), 'blob': np.packbits(buf, axis=1),
+                'menu': (hb, wb), 'blob': packed_blob,
             })
         return plans
 
-    def _dispatch_paragraph_stage(self, mono_dev, padded_dev, plans):
-        """Launch the fused crop + Line programs for all plans: the
-        dynamic-slice program for level paragraphs, the bilinear-gather
-        program for deskewed ones.  Returns [(plan_indices, crops_dev,
+    def _dispatch_paragraph_stage(self, stacks, plans):
+        """Launch the fused crop + Line programs for all plans, grouped by
+        (shape menu, rotated, needs_blob): dynamic-slice programs for
+        level paragraphs, bilinear-gather programs for deskewed ones;
+        single-component bboxes use the blob-free resident variants (no
+        mask upload).  Returns [(plan_indices, crops_dev,
         packed_bands_dev)] with crops left on device for the line stage."""
+        mono_dev, para_dev, padded_mono, padded_para = stacks
         groups = {}
         for i, plan in enumerate(plans):
-            groups.setdefault((plan['menu'], plan['rotated']), []).append(i)
+            groups.setdefault(
+                (plan['menu'], plan['rotated'], plan['needs_blob']),
+                []).append(i)
         B = self.DEVICE_BATCH
         params = self.line_model.params
         launches = []
-        for ((hb, wb), rotated), idxs in groups.items():
+        for ((hb, wb), rotated, needs_blob), idxs in groups.items():
             for start in range(0, len(idxs), B):
                 sel = idxs[start:start + B]
-                blob = np.zeros((B, hb, wb // 8), np.uint8)
+                blob = (np.zeros((B, hb, wb // 8), np.uint8)
+                        if needs_blob else None)
                 ints = {k: np.full((B,), 4, np.int32)
                         for k in ('y0', 'x0', 'h', 'w', 'ry0', 'rx0',
                                   'out_h', 'out_w', 'py', 'px',
@@ -542,33 +615,37 @@ class OCRPipeline:
                           'off_x': np.zeros((B,), np.float32)}
                 for bi, i in enumerate(sel):
                     plan = plans[i]
-                    blob[bi] = plan['blob']
+                    if needs_blob:
+                        blob[bi] = plan['blob']
                     for k in ints:
                         ints[k][bi] = plan[k]
                     for k in floats:
                         floats[k][bi] = plan[k]
-                if rotated:
+                iv = {k: jnp.asarray(v) for k, v in ints.items()}
+                fv = {k: jnp.asarray(v) for k, v in floats.items()}
+                if rotated and needs_blob:
                     crops, packed = self._paragraph_stage(
-                        params, mono_dev, jnp.asarray(blob),
-                        jnp.asarray(ints['page']),
-                        jnp.asarray(ints['y0']), jnp.asarray(ints['x0']),
-                        jnp.asarray(ints['h']), jnp.asarray(ints['w']),
-                        jnp.asarray(floats['cos']),
-                        jnp.asarray(floats['sin']),
-                        jnp.asarray(floats['off_y']),
-                        jnp.asarray(floats['off_x']),
-                        jnp.asarray(ints['ry0']), jnp.asarray(ints['rx0']),
-                        jnp.asarray(ints['out_h']),
-                        jnp.asarray(ints['out_w']),
-                        jnp.asarray(ints['py']), jnp.asarray(ints['px']),
-                        jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
-                else:
+                        params, mono_dev, jnp.asarray(blob), iv['page'],
+                        iv['y0'], iv['x0'], iv['h'], iv['w'],
+                        fv['cos'], fv['sin'], fv['off_y'], fv['off_x'],
+                        iv['ry0'], iv['rx0'], iv['out_h'], iv['out_w'],
+                        iv['py'], iv['px'], iv['hv'], iv['wv'])
+                elif rotated:
+                    crops, packed = self._paragraph_stage_rot_res(
+                        params, mono_dev, para_dev, iv['page'],
+                        iv['y0'], iv['x0'], iv['h'], iv['w'],
+                        fv['cos'], fv['sin'], fv['off_y'], fv['off_x'],
+                        iv['ry0'], iv['rx0'], iv['out_h'], iv['out_w'],
+                        iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb)
+                elif needs_blob:
                     crops, packed = self._paragraph_stage_fast(
-                        params, padded_dev, jnp.asarray(blob),
-                        jnp.asarray(ints['page']),
-                        jnp.asarray(ints['start_y']),
-                        jnp.asarray(ints['start_x']),
-                        jnp.asarray(ints['hv']), jnp.asarray(ints['wv']))
+                        params, padded_mono, jnp.asarray(blob), iv['page'],
+                        iv['start_y'], iv['start_x'], iv['hv'], iv['wv'])
+                else:
+                    crops, packed = self._paragraph_stage_res(
+                        params, padded_mono, padded_para, iv['page'],
+                        iv['start_y'], iv['start_x'], iv['h'], iv['w'],
+                        iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb)
                 packed.copy_to_host_async()
                 launches.append((sel, crops, packed))
         return launches
@@ -586,6 +663,9 @@ class OCRPipeline:
             bboxes.append((
                 slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
+        return self._plans_from_bboxes(bboxes, rotation)
+
+    def _plans_from_bboxes(self, bboxes, rotation):
         line_plans = []
         for y, x in bboxes:
             h_l, w_l = y.stop - y.start, x.stop - x.start
@@ -644,10 +724,17 @@ class OCRPipeline:
                 launches.append((sel, ids))
         return launches
 
-    def _ocr_chunk_device(self, n_pages, mono_dev, para_bits):
-        """One chunk, device-resident: host work is CCL + geometry over
-        bit-packed masks; every pixel transform is a device slice/matmul."""
-        padded_dev = self._pad_stack(mono_dev)
+    def _dispatch_chunk_device(self, n_pages, mono_dev, para_bits):
+        """Dispatch phase of one device-resident chunk: paragraph CCL +
+        crop/Line launches with CONCURRENT band-mask pulls, then line/Char
+        launches with concurrent char-id pulls.  Every device program here
+        costs <0.1ms (scripts/bisect_stage_cost.py); the tunnel's ~30ms
+        per-call round trip is the real cost, so every D2H runs as a
+        transfer-pool future and this phase never blocks on a result the
+        collect phase can wait for.  Returns state for
+        `_collect_chunk_device`."""
+        para_dev, padded_mono, padded_para = self._prep_stacks(
+            mono_dev, jnp.asarray(para_bits))
         if self.mesh is not None:
             # all-gather the page stacks ONCE per chunk: every later
             # gather program reads them as a replicated source (device_put
@@ -655,7 +742,9 @@ class OCRPipeline:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             mono_dev = jax.device_put(mono_dev, rep)
-            padded_dev = jax.device_put(padded_dev, rep)
+            para_dev = jax.device_put(para_dev, rep)
+            padded_mono = jax.device_put(padded_mono, rep)
+            padded_para = jax.device_put(padded_para, rep)
         para = np.unpackbits(para_bits, axis=2)
         para = para[:, :, :self.page_shape[2], 0]
 
@@ -665,40 +754,57 @@ class OCRPipeline:
                      for p in self._page_paragraph_plans(page, para[page])]
 
         with self._track('dispatch_paragraph_stage'):
-            launches = self._dispatch_paragraph_stage(mono_dev, padded_dev,
-                                                      plans)
+            launches = self._dispatch_paragraph_stage(
+                (mono_dev, para_dev, padded_mono, padded_para), plans)
 
-        # host: band geometry per paragraph (threaded), then dispatch all
-        # char launches before pulling any result
+        # all band-mask transfers in flight at once: total wait collapses
+        # to wire time instead of launches x RTT.  (A per-row run-summary
+        # encoding was tried and measured: 56% of nonempty band rows have
+        # 2-15 runs (word gaps) — scripts/band_stats.py — so compact row
+        # encodings lose; the 1-bit packed planes are the exact payload.)
+        band_futures = [self._pull(packed, 'bands')
+                        for _, _, packed in launches]
+
         texts = {}                      # plan index -> [line text]
-        char_launches = []
-        for sel, crops_dev, packed_dev in launches:
+
+        def handle_launch(item):
+            """Band wait -> line geometry -> line/Char dispatch for ONE
+            paragraph launch; launches process in parallel so transfer
+            waits, host CCL and dispatches all overlap."""
+            (sel, crops_dev, packed_dev), fut = item
             if self.mesh is not None:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
             with self._track('pull_band_masks'):
-                bands = np.unpackbits(np.asarray(packed_dev), axis=2)
-
-            def plan_slot(bi):
-                plan = plans[sel[bi]]
-                view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
-                return [(bi, lp) for lp in self._plan_lines(view)]
-
+                bands = np.unpackbits(fut.result(), axis=2)
             with self._track('host_line_plans'):
-                per_slot = list(self._pool.map(plan_slot, range(len(sel))))
-                flat = [item for slot_plans in per_slot
-                        for item in slot_plans]
+                flat = []
+                for bi in range(len(sel)):
+                    plan = plans[sel[bi]]
+                    view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
+                    flat.extend((bi, lp) for lp in self._plan_lines(view))
             with self._track('dispatch_line_stage'):
                 refs = self._dispatch_line_stage(crops_dev, flat)
-            char_launches.append((sel, flat, refs))
+            id_futures = [(ref_sel, self._pull(ids_dev, 'char_ids'))
+                          for ref_sel, ids_dev in refs]
+            return sel, flat, id_futures
 
+        char_launches = list(self._pool.map(
+            handle_launch, zip(launches, band_futures)))
+        return n_pages, plans, texts, char_launches
+
+    def _collect_chunk_device(self, state):
+        """Collect phase: wait out the in-flight char-id transfers and
+        decode text.  Runs while the NEXT chunk's device work and
+        transfers proceed underneath."""
+        n_pages, plans, texts, char_launches = state
         results = [[] for _ in range(n_pages)]
-        for sel, flat, refs in char_launches:
+        for sel, flat, id_futures in char_launches:
             line_texts = [None] * len(flat)
-            for ref_sel, ids_dev in refs:
+            for ref_sel, fut in id_futures:
                 with self._track('pull_char_ids'):
-                    ids = np.asarray(ids_dev)
+                    ids = fut.result()
                 for bi, ref in enumerate(ref_sel):
                     w = flat[ref][1]['w_valid']
                     row = ids[bi, :w]
@@ -713,6 +819,12 @@ class OCRPipeline:
         for i, plan in enumerate(plans):
             results[plan['page']].append(texts.get(i, []))
         return results
+
+    def _ocr_chunk_device(self, n_pages, mono_dev, para_bits):
+        """One chunk, device-resident: host work is CCL + geometry over
+        bit-packed masks; every pixel transform is a device slice/matmul."""
+        return self._collect_chunk_device(
+            self._dispatch_chunk_device(n_pages, mono_dev, para_bits))
 
     def warmup(self):
         """Compile the whole program menu with dummy data (cached
@@ -734,7 +846,10 @@ class OCRPipeline:
         H, W = self.page_shape[1], self.page_shape[2]
         self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
-        padded_dev = self._pad_stack(mono_dev)
+        para_bits = np.zeros((self.chunk, H, (W + 7) // 8, 1), np.uint8)
+        stacks = (mono_dev,) + self._prep_stacks(mono_dev,
+                                                 jnp.asarray(para_bits))
+        stacks = (stacks[0], stacks[1], stacks[2], stacks[3])
         for hb, wb in self.line_shape_menu:
             h, w = min(hb, H) - 8, min(wb, W) - 8
             blob = np.zeros((hb, wb // 8), np.uint8)
@@ -748,10 +863,13 @@ class OCRPipeline:
                     'menu': (hb, wb), 'blob': blob}
             crops_dev = None
             for rotated in (False, True):
-                plan['rotated'] = rotated
-                (_, crops_dev, packed), = self._dispatch_paragraph_stage(
-                    mono_dev, padded_dev, [dict(plan)])
-                packed.block_until_ready()
+                for needs_blob in (False, True):
+                    plan['rotated'] = rotated
+                    plan['needs_blob'] = needs_blob
+                    (_, crops_dev, packed), = (
+                        self._dispatch_paragraph_stage(
+                            stacks, [dict(plan)]))
+                    packed.block_until_ready()
             for wc in self.CHAR_WIDTH_MENU:
                 line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0, 'w_out': wc,
                              'a_yy': 1, 'a_yx': 0, 'b_y': 0,
@@ -788,19 +906,38 @@ class OCRPipeline:
                 (chunk, front_fn(front_params, jnp.asarray(batch))))
 
         if self.device_cascade:
-            results = []
+            # software-pipelined chunks: a dispatcher thread runs the
+            # dispatch phase (paragraph plans, stage launches, transfer
+            # kicks) while the main thread collects the previous chunk's
+            # char ids — chunk i+1's device work and D2H overlap chunk
+            # i's decode.  Bounded queue caps live crop stacks in HBM.
+            import queue as _queue
             # pull only the packed paragraph masks; monochrome maps stay
             # in HBM and feed the paragraph-stage gathers
-            pulled = (self._pool.submit(np.asarray, fronts[0][1][1])
-                      if fronts else None)
-            for i, (chunk, (mono_dev, _)) in enumerate(fronts):
-                with self._track('pull_para_bits'):
-                    para_bits = pulled.result()
-                if i + 1 < len(fronts):
-                    pulled = self._pool.submit(np.asarray,
-                                               fronts[i + 1][1][1])
-                results.extend(self._ocr_chunk_device(
-                    len(chunk), mono_dev, para_bits))
+            bit_futs = [self._pull(f[1][1], 'para_bits')
+                        for f in fronts]
+            states = _queue.Queue(maxsize=2)
+
+            def dispatcher():
+                try:
+                    for (chunk, (mono_dev, _)), fut in zip(fronts,
+                                                           bit_futs):
+                        with self._track('pull_para_bits'):
+                            para_bits = fut.result()
+                        states.put(('ok', self._dispatch_chunk_device(
+                            len(chunk), mono_dev, para_bits)))
+                except BaseException as exc:   # surface on main thread
+                    states.put(('err', exc))
+
+            t = Thread(target=dispatcher, daemon=True)
+            t.start()
+            results = []
+            for _ in fronts:
+                kind, state = states.get()
+                if kind == 'err':
+                    raise state
+                results.extend(self._collect_chunk_device(state))
+            t.join()
             return results
 
         # Prefetch D2H on a side thread so chunk i+1's transfer overlaps
