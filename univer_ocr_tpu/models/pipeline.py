@@ -553,19 +553,15 @@ class OCRPipeline:
             # single largest wire payload of the cascade) is skipped
             region = labels[sl]
             needs_blob = bool(((region > 0) & (region != label_id)).any())
-            if needs_blob:
-                buf = np.zeros((hb, wb), bool)
-                if rotated:
-                    # gather path: blob in bbox-local coords at (0, 0)
-                    buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
-                else:
-                    # slice path: blob pre-aligned to the
-                    # make_divisible_by placement, so the multiply
-                    # positions AND masks the crop
-                    buf[py:py + h, px:px + w] = blob
-                packed_blob = np.packbits(buf, axis=1)
+            buf = np.zeros((hb, wb), bool)
+            if rotated:
+                # gather path: blob in bbox-local coords at (0, 0)
+                buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
             else:
-                packed_blob = None
+                # slice path: blob pre-aligned to the make_divisible_by
+                # placement, so the multiply positions AND masks the crop
+                buf[py:py + h, px:px + w] = blob
+            packed_blob = np.packbits(buf, axis=1)
             plans.append({
                 'page': page_idx, 'y0': sl[0].start, 'x0': sl[1].start,
                 'h': h, 'w': w, 'cos': cos_a, 'sin': sin_a,
@@ -589,30 +585,42 @@ class OCRPipeline:
         mono_dev, para_dev, padded_mono, padded_para = stacks
         groups = {}
         for i, plan in enumerate(plans):
-            groups.setdefault(
-                (plan['menu'], plan['rotated'], plan['needs_blob']),
-                []).append(i)
+            groups.setdefault((plan['menu'], plan['rotated']),
+                              []).append(i)
         B = self.DEVICE_BATCH
         params = self.line_model.params
         launches = []
-        for ((hb, wb), rotated, needs_blob), idxs in groups.items():
-            for start in range(0, len(idxs), B):
-                sel = idxs[start:start + B]
-                blob = (np.zeros((B, hb, wb // 8), np.uint8)
+        for ((hb, wb), rotated), idxs in groups.items():
+            # cluster the (rare, ~9%: scripts) blob-needing plans into as
+            # few batches as possible; a batch uses the upload program
+            # only if one of its plans needs the true blob — launch count
+            # stays ceil(n/B), identical to menu-only grouping
+            idxs = sorted(idxs, key=lambda i: not plans[i]['needs_blob'])
+            start = 0
+            while start < len(idxs):
+                r = len(idxs) - start
+                # small tail batches ship 4 slots of band bytes instead
+                # of 16 (the D2H payload scales with the batch, filled or
+                # not); under a mesh the batch must divide the data axis
+                Bsub = 4 if (r <= 4 and self.mesh is None) else B
+                sel = idxs[start:start + Bsub]
+                start += Bsub
+                needs_blob = any(plans[i]['needs_blob'] for i in sel)
+                blob = (np.zeros((Bsub, hb, wb // 8), np.uint8)
                         if needs_blob else None)
-                ints = {k: np.full((B,), 4, np.int32)
+                ints = {k: np.full((Bsub,), 4, np.int32)
                         for k in ('y0', 'x0', 'h', 'w', 'ry0', 'rx0',
                                   'out_h', 'out_w', 'py', 'px',
                                   'hv', 'wv', 'start_y', 'start_x')}
-                ints['page'] = np.zeros((B,), np.int32)
+                ints['page'] = np.zeros((Bsub,), np.int32)
                 for k in ('ry0', 'rx0', 'py', 'px'):
                     ints[k][:] = 0
                 ints['start_y'][:] = self.STACK_PAD
                 ints['start_x'][:] = self.STACK_PAD
-                floats = {'cos': np.ones((B,), np.float32),
-                          'sin': np.zeros((B,), np.float32),
-                          'off_y': np.zeros((B,), np.float32),
-                          'off_x': np.zeros((B,), np.float32)}
+                floats = {'cos': np.ones((Bsub,), np.float32),
+                          'sin': np.zeros((Bsub,), np.float32),
+                          'off_y': np.zeros((Bsub,), np.float32),
+                          'off_x': np.zeros((Bsub,), np.float32)}
                 for bi, i in enumerate(sel):
                     plan = plans[i]
                     if needs_blob:
@@ -861,23 +869,28 @@ class OCRPipeline:
                     'start_y': self.STACK_PAD, 'start_x': self.STACK_PAD,
                     'hv': round_up(h, 16), 'wv': round_up(w, 16),
                     'menu': (hb, wb), 'blob': blob}
-            crops_dev = None
+            crops_by_batch = {}
             for rotated in (False, True):
                 for needs_blob in (False, True):
                     plan['rotated'] = rotated
                     plan['needs_blob'] = needs_blob
-                    (_, crops_dev, packed), = (
-                        self._dispatch_paragraph_stage(
-                            stacks, [dict(plan)]))
-                    packed.block_until_ready()
-            for wc in self.CHAR_WIDTH_MENU:
-                line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0, 'w_out': wc,
-                             'a_yy': 1, 'a_yx': 0, 'b_y': 0,
-                             'a_xy': 0, 'a_xx': 1, 'b_x': 0,
-                             'w_valid': wc}
-                for _, ids in self._dispatch_line_stage(
-                        crops_dev, [(0, line_plan)]):
-                    ids.block_until_ready()
+                    for n in (1, self.DEVICE_BATCH):   # B=4 tail + B=16
+                        for _, crops_dev, packed in (
+                                self._dispatch_paragraph_stage(
+                                    stacks, [dict(plan)] * n)):
+                            packed.block_until_ready()
+                            crops_by_batch[crops_dev.shape[0]] = crops_dev
+            # line-stage program per (crop-stack batch, char width) pair
+            for crops_dev in crops_by_batch.values():
+                for wc in self.CHAR_WIDTH_MENU:
+                    line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0,
+                                 'w_out': wc,
+                                 'a_yy': 1, 'a_yx': 0, 'b_y': 0,
+                                 'a_xy': 0, 'a_xx': 1, 'b_x': 0,
+                                 'w_valid': wc}
+                    for _, ids in self._dispatch_line_stage(
+                            crops_dev, [(0, line_plan)]):
+                        ids.block_until_ready()
 
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
