@@ -73,6 +73,72 @@ def main(n_pages=8, collapse=True, seed=123):
     print(f'exact line rate: {exact}/{total_lines}')
 
 
+def main_gt_crops(n_pages=8, collapse=True, seed=123):
+    """Char-model accuracy on GROUND-TRUTH-geometry crops: paragraphs and
+    line boxes come from the GT masks (no Paragraph/Line model error),
+    isolating the Char model's recognition quality.  Reports char-level
+    similarity of the decoded text vs the geometric ground truth."""
+    random.seed(seed)
+    np.random.seed(seed)
+    from univer_ocr_tpu.interpreter.interpreter import (
+        crop_and_rotate_single_paragraph, label_layer)
+    from univer_ocr_tpu.models.model import (CHAR_FIXED_WIDTH,
+                                             CHAR_INPUT_HEIGHT,
+                                             make_divisible_by)
+    from univer_ocr_tpu.models.pipeline import (OCRPipeline,
+                                                crop_lines_of_paragraph)
+    from univer_ocr_tpu.interpreter.interpreter import pred_ids_to_text
+
+    weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
+                       collapse_runs=collapse)
+
+    ratios = []
+    for _ in range(n_pages):
+        img = LayeredImage(720, 480, (255, 255, 255, 255))
+        while img.paragraphs_added == 0:
+            for _ in range(100):
+                img.add_paragraph(random_text(), random_font(12, 36))
+        img.make_divisible_by(16, 16)
+        raw = img.get_raw()
+        truth = interpret(raw)
+        mono = encode_layers(
+            {'image_monochrome': raw['image_monochrome'].convert('L')}
+        )['monochrome'].astype(np.float32)
+        line = encode_layers(
+            {'line_top': raw['line_top'].convert('L'),
+             'line_bottom': raw['line_bottom'].convert('L')}
+        )['line'].astype(np.float32)
+        para = encode_layers(
+            {'paragraph': raw['paragraph'].convert('L')}
+        )['paragraph'].astype(np.float32)
+
+        pred_lines = []
+        for mask in label_layer(para):
+            mono_c, line_c = crop_and_rotate_single_paragraph(
+                mask, [mono, line])
+            mono_c = make_divisible_by(mono_c, 16, 16)
+            line_c = make_divisible_by(line_c, 16, 16)
+            lines = crop_lines_of_paragraph(
+                line_c, mono_c, CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
+            for ids, valid in pipe._run_char_batched(lines):
+                pred_lines.append(pred_ids_to_text(ids, valid, collapse))
+
+        true_lines = [truth[k] for k in sorted(truth)]
+        ratio = SequenceMatcher(None, '\n'.join(true_lines),
+                                '\n'.join(pred_lines)).ratio()
+        ratios.append(ratio)
+        print(f'page: {len(true_lines)} true lines, '
+              f'{len(pred_lines)} GT-crop lines, similarity {ratio:.3f}')
+        if true_lines and pred_lines:
+            print(f'  true[0]: {true_lines[0][:60]!r}')
+            print(f'  pred[0]: {pred_lines[0][:60]!r}')
+    print(f'\nmean GT-crop char similarity: {np.mean(ratios):.4f}')
+
+
 if __name__ == '__main__':
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    main(n, collapse='--no-collapse' not in sys.argv)
+    if '--gt-crops' in sys.argv:
+        main_gt_crops(n, collapse='--no-collapse' not in sys.argv)
+    else:
+        main(n, collapse='--no-collapse' not in sys.argv)
