@@ -106,3 +106,16 @@ def test_losses_bookkeeping():
     better = losses.get_better_weights(epoch=1)
     assert better == ['M']
     assert losses.best_loss_epoch['M'] == 1
+
+
+def test_losses_accumulate_multi_crop_contexts():
+    """Components that iterate paragraph crops tally one loss entry per
+    crop; Losses must read only the first outputs_cnt entries (reference
+    trainer.py:47-57) instead of crashing on the longer list."""
+    from univer_ocr_tpu.models.trainer import Losses
+    losses = Losses(['Line'], {'Line': 1})
+    losses.reset()
+    losses.validation({'Line': {'output_losses': [0.5] * 11}})
+    losses.train({'Line': {'output_losses': [0.25] * 3}})
+    assert losses.val_losses['Line'].tolist() == [0.5]
+    assert losses.train_losses['Line'].tolist() == [0.25]

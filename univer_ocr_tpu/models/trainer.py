@@ -53,7 +53,13 @@ class Losses:
     def _accumulate(sums, update):
         for name, entry in update.items():
             if name in sums:
-                sums[name] += np.asarray(entry['output_losses'], dtype=float)
+                # components that iterate crops concatenate one loss entry
+                # per crop; the reference reads only the first outputs_cnt
+                # entries of that tally (trainer.py:47-57) — keep that
+                # semantics instead of crashing on the longer list
+                k = len(sums[name])
+                sums[name] += np.asarray(entry['output_losses'][:k],
+                                         dtype=float)
 
     def train(self, update):
         self._accumulate(self.train_losses, update)
