@@ -658,16 +658,63 @@ class OCRPipeline:
                 launches.append((sel, crops, packed))
         return launches
 
+    @staticmethod
+    def _band_blob_stats(mask2d):
+        """label_layer semantics on one band channel, but WITHOUT
+        materializing a full-size boolean mask per blob (that makes the
+        geometry O(blobs * H * W)): one labels pass, then vectorized
+        per-blob bboxes and centers of mass."""
+        from .. import native as _native
+        thresholded = mask2d > np.mean(mask2d)
+        if _native.available():
+            labels, cnt = _native.label(thresholded)
+        else:
+            labels, cnt = ndimage.label(thresholded)
+        if cnt == 0:
+            return [], np.zeros((0, 2))
+        bboxes = ndimage.find_objects(labels, cnt)
+        # centers must be BIT-IDENTICAL to the host path's per-mask
+        # np.argwhere(mask).mean(axis=0) (_mask_centers): group one
+        # raster-order argwhere by label and np.mean each slice — same
+        # value sequence, same pairwise summation, so near-tie pairings
+        # in rearrange can never diverge between the two paths
+        coords = np.argwhere(thresholded)
+        lab = labels[thresholded]
+        order = np.argsort(lab, kind='stable')
+        coords = coords[order].astype(float)
+        ends = np.searchsorted(lab[order], np.arange(2, cnt + 2))
+        starts = np.concatenate([[0], ends[:-1]])
+        centers = np.stack([coords[a:b].mean(axis=0)
+                            for a, b in zip(starts, ends)])
+        return bboxes, centers
+
     def _plan_lines(self, bands):
         """Line gather plans from one paragraph's thresholded band masks
-        (the geometry half of crop_lines_of_paragraph)."""
-        tops, bottoms, rotation = rearrange_lines(
-            label_layer(bands[None, :, :, 0:1]),
-            label_layer(bands[None, :, :, 1:2]))
+        (the geometry half of crop_lines_of_paragraph).  Pairing /
+        orientation / ordering replicate rearrange_lines
+        (interpreter.py:211-233) on (bbox, center) tuples."""
+        top_boxes, cm_top = self._band_blob_stats(bands[:, :, 0])
+        bottom_boxes, cm_bottom = self._band_blob_stats(bands[:, :, 1])
+        if not top_boxes or not bottom_boxes:
+            return []
+        d = np.linalg.norm(cm_top[:, None, :] - cm_bottom[None, :, :],
+                           axis=-1)
+        pick = d.argmin(axis=1)
+        bottom_boxes = [bottom_boxes[i] for i in pick]
+        cm_bottom = cm_bottom[pick]
+
+        from ..interpreter.interpreter import (_ORIENTATION_KEYS,
+                                               _orientation_code)
+        delta = cm_top[0] - cm_bottom[0]
+        rotation = _orientation_code(delta[0], delta[1])
+        axis, sign = _ORIENTATION_KEYS[rotation]
+        order_top = np.argsort(sign * cm_top[:, axis - 1], kind='stable')
+        order_bottom = np.argsort(sign * cm_bottom[:, axis - 1],
+                                  kind='stable')
         bboxes = []
-        for top_mask, bottom_mask in zip(tops, bottoms):
-            _, ty, tx, _ = ndimage.find_objects(top_mask)[0]
-            _, by_, bx_, _ = ndimage.find_objects(bottom_mask)[0]
+        for ti, bi in zip(order_top, order_bottom):
+            ty, tx = top_boxes[ti]
+            by_, bx_ = bottom_boxes[bi]
             bboxes.append((
                 slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
