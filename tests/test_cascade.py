@@ -326,3 +326,45 @@ def test_resident_blob_crops_match_uploaded_blob():
     pipe._page_paragraph_plans = force_blob
     texts_blob = pipe.ocr_pages(pages)
     assert texts_res == texts_blob
+
+
+def test_plan_lines_matches_rearrange_lines_path():
+    """The vectorized blob-stats line planner must reproduce the
+    label_layer + rearrange_lines reference path exactly, including on
+    fragmented bands and rotated orientations."""
+    import numpy as np
+    from scipy import ndimage
+    from univer_ocr_tpu.interpreter.interpreter import (label_layer,
+                                                        rearrange_lines)
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+
+    pipe = OCRPipeline((1, 64, 64, 1), weights=None, chunk=1, workers=1)
+
+    def reference_plan_lines(bands):
+        tops, bottoms, rotation = rearrange_lines(
+            label_layer(bands[None, :, :, 0:1]),
+            label_layer(bands[None, :, :, 1:2]))
+        bboxes = []
+        for tm, bm in zip(tops, bottoms):
+            _, ty, tx, _ = ndimage.find_objects(tm)[0]
+            _, by_, bx_, _ = ndimage.find_objects(bm)[0]
+            bboxes.append(
+                (slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
+                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
+        return pipe._plans_from_bboxes(bboxes, rotation)
+
+    rs = np.random.RandomState(2)
+    for trial in range(20):
+        hv, wv = rs.randint(48, 200), rs.randint(48, 320)
+        mask = np.zeros((hv, wv, 2), bool)
+        for li in range(rs.randint(0, 5)):
+            y = 4 + li * 34
+            if y + 30 >= hv:
+                break
+            a, b = sorted(rs.randint(0, wv, 2).tolist())
+            # fragmented stripes (word gaps): the realistic case
+            mask[y:y + 3, a:b + 1, 0] = rs.rand(3, b + 1 - a) > 0.25
+            mask[y + 22:y + 25, a:b + 1, 1] = rs.rand(3, b + 1 - a) > 0.25
+        if trial % 4 == 3:
+            mask = mask.transpose(1, 0, 2)[:, ::-1, :].copy()  # rotated
+        assert pipe._plan_lines(mask) == reference_plan_lines(mask), trial
