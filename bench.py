@@ -94,6 +94,16 @@ def main(n_pages=32, warmup=2):
     log(f'{n_pages} pages in {elapsed:.2f}s -> {pages_per_sec:.2f} pages/s; '
         f'{n_chars} chars decoded')
 
+    # p50 single-page latency (BASELINE.json tracked metric): one page
+    # through the full cascade, nothing to batch against
+    lat = []
+    for i in range(8):
+        t0 = time.time()
+        pipeline.ocr_pages(pages[i:i + 1])
+        lat.append(time.time() - t0)
+    p50_ms = sorted(lat)[len(lat) // 2] * 1e3
+    log(f'p50 single-page latency: {p50_ms:.0f}ms')
+
     # The reference publishes no numbers (BASELINE.md); the measured
     # baseline is the same cascade + checkpoint on host CPU via
     # scripts/bench_configs.py config 1 (1.53 pages/s warm, trained weights).  The
@@ -105,6 +115,7 @@ def main(n_pages=32, warmup=2):
         'unit': 'pages/sec',
         'vs_baseline': round(pages_per_sec / CPU_REFERENCE_PAGES_PER_SEC, 3),
         'north_star_share_62.5': round(pages_per_sec / 62.5, 4),
+        'p50_page_latency_ms': round(p50_ms, 1),
     }))
 
 
