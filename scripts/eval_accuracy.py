@@ -138,7 +138,11 @@ def main_gt_crops(n_pages=8, collapse=True, seed=123):
 
 if __name__ == '__main__':
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    collapse = '--no-collapse' not in sys.argv
+    for a in sys.argv[1:]:
+        if a.startswith('--min-run='):
+            collapse = int(a.split('=')[1])
     if '--gt-crops' in sys.argv:
-        main_gt_crops(n, collapse='--no-collapse' not in sys.argv)
+        main_gt_crops(n, collapse=collapse)
     else:
-        main(n, collapse='--no-collapse' not in sys.argv)
+        main(n, collapse=collapse)

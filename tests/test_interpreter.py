@@ -202,3 +202,23 @@ def test_pred_to_text_zero_columns_skipped():
     pred = np.zeros((3, len(CHARS)))
     pred[1, CHARS_IDS['x']] = 0.7
     assert pred_to_text_line(pred) == 'x'
+
+
+def test_pred_ids_to_text_min_run_filter():
+    """collapse_runs=k drops sub-k runs (boundary noise) while keeping
+    tab resets and similar-pair suppression."""
+    import numpy as np
+    from univer_ocr_tpu.interpreter.interpreter import pred_ids_to_text
+    from univer_ocr_tpu.primitives import CHARS
+    a, b = 5, 9
+    ids = np.array([a] * 4 + [b] + [a] * 2 + [0] * 2 + [b] * 3 + [a])
+    valid = np.ones(len(ids), bool)
+    # plain collapse keeps the single-column noise
+    assert pred_ids_to_text(ids, valid, True) == (
+        CHARS[a] + CHARS[b] + CHARS[a] + CHARS[b] + CHARS[a])
+    # min_run=2 drops the 1-column runs; the two `a` runs split by the
+    # dropped noise merge into one glyph; tab still resets
+    assert pred_ids_to_text(ids, valid, 2) == CHARS[a] + CHARS[b]
+    # min_run=1 (int) equals collapse=True
+    assert pred_ids_to_text(ids, valid, 1) == pred_ids_to_text(
+        ids, valid, True)

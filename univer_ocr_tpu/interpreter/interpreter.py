@@ -670,7 +670,44 @@ class LabelChar(BaseWorkersPool):
 
 def pred_ids_to_text(ids, valid, collapse_runs=False):
     """Decode from per-column argmax ids + validity flags (the device-side
-    argmax form of pred_to_text_line; identical semantics)."""
+    argmax form of pred_to_text_line; identical semantics).
+
+    `collapse_runs` accepts the reference-parity False (emit one char per
+    column, similar-pair suppression only), True (additionally collapse
+    consecutive identical characters), or an int `k` >= 2: collapse AND
+    drop runs shorter than k columns.  Real glyphs span many columns of a
+    height-32 line crop while per-column boundary misclassifications span
+    1-2, so the run-length filter removes most insertion noise (measured:
+    GT-crop char similarity 0.53 -> 0.82 at k=4 on a mid-training
+    checkpoint; scripts/eval_accuracy.py).
+    """
+    min_run = (int(collapse_runs)
+               if not isinstance(collapse_runs, bool) else 1)
+    if min_run > 1:
+        runs = []                       # [char_id, column count]
+        for col in range(len(ids)):
+            if not valid[col]:
+                continue
+            cid = int(ids[col])
+            if runs and runs[-1][0] == cid:
+                runs[-1][1] += 1
+            else:
+                runs.append([cid, 1])
+        result = ''
+        prev_char = None
+        for cid, n in runs:
+            if cid == 0:
+                prev_char = None
+                continue
+            if n < min_run:
+                continue
+            cur_char = CHARS[cid]
+            if are_similar(cur_char, prev_char) or cur_char == prev_char:
+                continue
+            result += cur_char
+            prev_char = cur_char
+        return result
+
     result = ''
     prev_char = None
     for col in range(len(ids)):
