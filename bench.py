@@ -69,12 +69,14 @@ def main(n_pages=32, warmup=2):
             chunk = int(a.split('=')[1])
     log('device_cascade:', device_cascade, 'precision:', precision,
         'chunk:', chunk)
-    # collapse_runs=True: report real characters, not per-column
-    # duplicates (the reference's own decode keeps duplicates for chars
-    # outside its similar-pairs table — a flaw, not a feature; VERDICT r1)
+    # collapse_runs=4: report real characters, not per-column duplicates
+    # (the reference's own decode keeps duplicates for chars outside its
+    # similar-pairs table — a flaw, not a feature; VERDICT r1), with the
+    # run-length filter that suppresses 1-3-column boundary
+    # misclassifications (the best-measured decode, scripts/eval_accuracy)
     pipeline = OCRPipeline(page_shape, weights=weights, chunk=chunk,
                            workers=8, device_cascade=device_cascade,
-                           precision=precision, collapse_runs=True)
+                           precision=precision, collapse_runs=4)
 
     # ---- warmup (compiles the fixed program menu; persistently cached) ---
     log('warmup...')
