@@ -63,7 +63,7 @@ def main(n_pages=32, warmup=2):
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     device_cascade = '--host-cascade' not in sys.argv
     precision = 'highest' if '--f32' in sys.argv else 'bf16'
-    chunk = 16
+    chunk = 32
     for a in sys.argv[1:]:
         if a.startswith('--chunk='):
             chunk = int(a.split('=')[1])
