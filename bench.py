@@ -122,5 +122,7 @@ def main(n_pages=32, warmup=2):
 
 
 if __name__ == '__main__':
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    main(n)
+    # flags (--f32, --host-cascade, --chunk=N) are read inside main();
+    # the only positional argument is the page count
+    positional = [a for a in sys.argv[1:] if not a.startswith('--')]
+    main(int(positional[0]) if positional else 32)

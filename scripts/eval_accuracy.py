@@ -46,8 +46,13 @@ def main(n_pages=8, collapse=True, seed=123):
         pages.append(layers['image'].astype(np.float32))
 
     weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    # measure the serving configuration (explicit: the constructor
+    # default is the f32 parity mode); --f32 evaluates exact numerics
+    precision = 'highest' if '--f32' in sys.argv else 'bf16'
     pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
-                       collapse_runs=collapse)
+                       collapse_runs=collapse,
+                       device_cascade='--host-cascade' not in sys.argv,
+                       precision=precision)
     results = pipe.ocr_pages(pages)
 
     ratios = []
@@ -90,8 +95,9 @@ def main_gt_crops(n_pages=8, collapse=True, seed=123):
     from univer_ocr_tpu.interpreter.interpreter import pred_ids_to_text
 
     weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    precision = 'highest' if '--f32' in sys.argv else 'bf16'
     pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
-                       collapse_runs=collapse)
+                       collapse_runs=collapse, precision=precision)
 
     ratios = []
     for _ in range(n_pages):

@@ -100,7 +100,7 @@ class OCRPipeline:
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
                  quantized_transfers=True, mesh=None, use_pallas=None,
-                 device_cascade=False, precision='bf16'):
+                 device_cascade=False, precision='highest'):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -108,9 +108,12 @@ class OCRPipeline:
         self.collapse_runs = collapse_runs
         self.quantized_transfers = quantized_transfers
         self.device_cascade = device_cascade
-        #: MXU policy for every model forward in this pipeline: 'bf16'
-        #: (serving default: one MXU pass, f32 accumulation) or 'highest'
-        #: (full-f32 parity mode; see ops/precision.py)
+        #: MXU policy for every model forward in this pipeline.  The
+        #: constructor default is 'highest' (full-f32, numerics match the
+        #: host path) so correctness-focused callers get exact results
+        #: without opting in; serving call sites (bench.py, web/app.py)
+        #: pass 'bf16' explicitly for the one-pass MXU fast path with f32
+        #: accumulation (see ops/precision.py).
         self.precision = precision
         if use_pallas is None:
             # Pallas kernels target the TPU memory hierarchy; the XLA path
@@ -254,14 +257,20 @@ class OCRPipeline:
 
         def char_ids(params, x, w_valid):
             # argmax on device: ship (N, W) ids + validity instead of the
-            # (N, W, 162) float logits (650x less traffic per line)
+            # (N, W, 162) float logits (650x less traffic per line).  A
+            # column is valid iff it lies inside the sample's true width —
+            # the same structural mask char_forward_masked applies (the
+            # reference skipped columns whose max score was exactly 0,
+            # interpreter.py:596-601, which holds only by construction of
+            # the masking; the width test makes the invariant explicit).
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 255.0
             logits = char_forward_masked(params, x, w_valid,
                                          precision=precision,
                                          head=char_head)
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            valid = jnp.max(logits, axis=-1) != 0.0
+            cols = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
+            valid = cols < w_valid.reshape(-1, 1)
             return ids, valid
 
         # --- device-resident cascade programs (device_cascade=True) ------
@@ -338,8 +347,10 @@ class OCRPipeline:
                                          head=char_head)
             ids = jnp.argmax(logits, axis=-1)
             # one uint8 per column over the slow D2H link: 255 flags the
-            # columns PredToText skips (max logit exactly 0, i.e. masked)
-            valid = jnp.max(logits, axis=-1) != 0.0
+            # columns PredToText skips — explicitly the columns at or past
+            # each sample's true width (char ids are < 162, so 255 is free)
+            cols = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
+            valid = cols < w_valid.reshape(-1, 1)
             return jnp.where(valid, ids, 255).astype(jnp.uint8)
 
         if mesh is not None:
@@ -942,15 +953,14 @@ class OCRPipeline:
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
         Returns per page: [paragraph][line] -> decoded text."""
-        # Dispatch the front-end for every chunk up front: XLA execution is
-        # async, so chunk i+1's device work overlaps chunk i's host CV.
         front_fn = (self._front_resident if self.device_cascade
                     else self._front)
         front_params = self.front_params
         n_data = self.mesh.shape.get('data', 1) if self.mesh else 1
-        fronts = []
-        for start in range(0, len(pages), self.chunk):
-            chunk = pages[start:start + self.chunk]
+        chunks = [pages[start:start + self.chunk]
+                  for start in range(0, len(pages), self.chunk)]
+
+        def dispatch_front(chunk):
             batch = np.concatenate([
                 np.asarray(np.asarray(p) * 255.0, np.uint8)
                 if np.asarray(p).dtype != np.uint8 else np.asarray(p)
@@ -962,26 +972,38 @@ class OCRPipeline:
                 pad = n_data - batch.shape[0] % n_data
                 batch = np.concatenate(
                     [batch, np.zeros((pad,) + batch.shape[1:], np.uint8)])
-            fronts.append(
-                (chunk, front_fn(front_params, jnp.asarray(batch))))
+            return chunk, front_fn(front_params, jnp.asarray(batch))
 
         if self.device_cascade:
             # software-pipelined chunks: a dispatcher thread runs the
-            # dispatch phase (paragraph plans, stage launches, transfer
-            # kicks) while the main thread collects the previous chunk's
-            # char ids — chunk i+1's device work and D2H overlap chunk
-            # i's decode.  Bounded queue caps live crop stacks in HBM.
+            # dispatch phase (front launch, paragraph plans, stage
+            # launches, transfer kicks) while the main thread collects
+            # the previous chunk's char ids — chunk i+1's device work and
+            # D2H overlap chunk i's decode.  Fronts dispatch ONE chunk
+            # ahead and the bounded queue caps live crop stacks, so HBM
+            # holds at most ~3 chunks of full-resolution monochrome maps
+            # however long the page list is.
             import queue as _queue
-            # pull only the packed paragraph masks; monochrome maps stay
-            # in HBM and feed the paragraph-stage gathers
-            bit_futs = [self._pull(f[1][1], 'para_bits')
-                        for f in fronts]
             states = _queue.Queue(maxsize=2)
 
             def dispatcher():
                 try:
-                    for (chunk, (mono_dev, _)), fut in zip(fronts,
-                                                           bit_futs):
+                    pending = None          # (chunk, mono_dev, bits_fut)
+                    for i, chunk in enumerate(chunks):
+                        if pending is None:
+                            _, (mono_dev, bits_dev) = dispatch_front(chunk)
+                            pending = (chunk, mono_dev,
+                                       self._pull(bits_dev, 'para_bits'))
+                        chunk, mono_dev, fut = pending
+                        # kick chunk i+1's front before blocking on chunk
+                        # i's paragraph-mask pull
+                        if i + 1 < len(chunks):
+                            nxt = chunks[i + 1]
+                            _, (mono_nxt, bits_nxt) = dispatch_front(nxt)
+                            pending = (nxt, mono_nxt,
+                                       self._pull(bits_nxt, 'para_bits'))
+                        else:
+                            pending = None
                         with self._track('pull_para_bits'):
                             para_bits = fut.result()
                         states.put(('ok', self._dispatch_chunk_device(
@@ -992,13 +1014,15 @@ class OCRPipeline:
             t = Thread(target=dispatcher, daemon=True)
             t.start()
             results = []
-            for _ in fronts:
+            for _ in chunks:
                 kind, state = states.get()
                 if kind == 'err':
                     raise state
                 results.extend(self._collect_chunk_device(state))
             t.join()
             return results
+
+        fronts = [dispatch_front(chunk) for chunk in chunks]
 
         # Prefetch D2H on a side thread so chunk i+1's transfer overlaps
         # chunk i's host CV (the tunnel's D2H is the scarce resource).

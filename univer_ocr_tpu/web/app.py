@@ -116,8 +116,11 @@ def create_app():
                     (REPO_ROOT / MODEL_WEIGHTS_FILE_PATH).read_text())
             except OSError:
                 weights = None
+            # serving config: bf16 MXU fast path (explicit — the
+            # constructor default is the f32 parity mode)
             pipelines[page_shape] = OCRPipeline(page_shape, weights=weights,
-                                                chunk=4, workers=4)
+                                                chunk=4, workers=4,
+                                                precision='bf16')
         return pipelines[page_shape]
 
     @app.route('/ocr')
