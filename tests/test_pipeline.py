@@ -88,8 +88,12 @@ def test_device_cascade_matches_host_pipeline(pages):
 
     host = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
                        quantized_transfers=False, precision='highest')
+    # exact_bands pins the geometry to the host CCL path; the serving
+    # default (band tables) deliberately merges fragmented bands and is
+    # pinned against ground truth in test_band_tables.py instead
     device = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
-                         device_cascade=True, precision='highest')
+                         device_cascade=True, precision='highest',
+                         exact_bands=True)
     expected = host.ocr_pages(pages)
     got = device.ocr_pages(pages)
     assert [[len(l) for l in page] for page in got] == \

@@ -29,17 +29,12 @@ fan-out so multi-page batches parallelize across host cores.
 import os
 import signal
 from datetime import datetime as dt
-from queue import Empty
-from queue import Queue as ThreadQueue
-from threading import Event as ThreadEvent
-from threading import Thread
-from time import sleep
 
 import numpy as np
 from scipy import ndimage
 
 from ..primitives import BITS_COUNT, CHARS, CHARS_IDS, are_similar, decode_char
-from .parallelism import ERRORS_TO_STOP, MP
+from .parallelism import MP
 
 
 from .. import native as _native
@@ -363,24 +358,6 @@ def interpret(layers):
 
 
 # ---------------------------------------------------------------------------
-# Queue plumbing (reference :174-185)
-# ---------------------------------------------------------------------------
-
-def put_to_queue(queue, data):
-    try:
-        queue.put(data)
-    except ERRORS_TO_STOP:
-        return
-
-
-def get_from_queue(queue):
-    try:
-        return queue.get()
-    except ERRORS_TO_STOP:
-        exit(0)
-
-
-# ---------------------------------------------------------------------------
 # Paragraph crop + deskew (reference :234-378)
 # ---------------------------------------------------------------------------
 
@@ -446,172 +423,126 @@ class CropAndRotateParagraphs:
 
 
 # ---------------------------------------------------------------------------
-# Worker-pool base (reference :381-418)
+# Stage pools
+#
+# The reference drove each stage through a Manager-queue feeding a daemon
+# thread that owned the real pool, and fanned the line stage out in three
+# waves of per-line apply_async (reference interpreter.py:381-523).  A
+# directly-owned pool gives the same cross-core fan-out without the queue
+# indirection, and the line stage ships one task per PARAGRAPH that plans
+# and extracts all of its lines: planning is microseconds, so coarse
+# tasks keep every core busy at a fraction of the dispatch overhead.
 # ---------------------------------------------------------------------------
 
-class BaseWorkersPool:
-    """Daemon thread owning an MP.Pool fed through in/out queues
-    (reference :381-418) — kept for API parity; subclasses fan work out
-    with pool.apply_async.
+def _ignore_sigint():
+    """Pool-worker initializer: the parent handles Ctrl-C and tears the
+    pool down; workers must not race it with their own KeyboardInterrupt."""
+    if MP.is_multiprocessing_used:
+        signal.signal(signal.SIGINT, signal.SIG_IGN)
 
-    In the default threading mode the queues are plain `queue.Queue` and
-    the done-flag a `threading.Event`: spinning up a Manager would fork a
-    server process after JAX's threads exist (a deadlock hazard flagged by
-    os.fork warnings).  Manager-backed queues are created only under
-    `MP.use_multiprocessing()`, where cross-process queues are required.
-    """
+
+class StagePool:
+    """One worker pool (thread- or process-backed per the MP switch) with
+    fan-out helpers shared by the interpreter stages."""
 
     def __init__(self, workers_count=None):
-        if MP.is_multiprocessing_used:
-            self.manager = MP.mp.Manager()
-            self.input_queue = self.manager.Queue()
-            self.output_queue = self.manager.Queue()
-            self.done = MP.mp.Event()
-        else:
-            self.manager = None
-            self.input_queue = ThreadQueue()
-            self.output_queue = ThreadQueue()
-            self.done = ThreadEvent()
         self.workers_count = (os.cpu_count() if workers_count is None
                               else workers_count)
-        self.run_thread = Thread(target=self._run, daemon=True)
-        self.run_thread.start()
+        self._pool = MP.Pool(self.workers_count, _ignore_sigint)
 
     def __del__(self):
-        self.done.set()
-        sleep(0.001)
+        try:
+            self._pool.terminate()
+        except Exception:
+            pass
 
-    def __call__(self, *args, **kwargs):
-        put_to_queue(self.input_queue, (args, kwargs))
-        result = get_from_queue(self.output_queue)
-        return result
-
-    @staticmethod
-    def init_worker():
-        if MP.is_multiprocessing_used:
-            signal.signal(signal.SIGINT, signal.SIG_IGN)
-
-    def _run(self):
-        with MP.Pool(self.workers_count, self.init_worker) as pool:
-            while not self.done.is_set():
-                try:
-                    args, kwargs = self.input_queue.get(True, 0.001)
-                except Empty:
-                    continue
-                except ERRORS_TO_STOP:
-                    break
-                result = self._func(pool, *args, **kwargs)
-                put_to_queue(self.output_queue, result)
-
-    def _func(self, pool, *args, **kwargs):
-        raise NotImplementedError()
+    def map_nested(self, func, nested, *extra):
+        """[[leaf]] -> [[func(leaf, *extra)]] with every leaf in flight
+        at once (the [paragraph][line] nesting both label and decode
+        stages share)."""
+        tasks = [[self._pool.apply_async(func, (leaf, *extra))
+                  for leaf in row] for row in nested]
+        return [[task.get() for task in row] for row in tasks]
 
 
 # ---------------------------------------------------------------------------
 # Line crop/rotate/zoom (reference :421-523)
 # ---------------------------------------------------------------------------
 
-class CropRotateAndZoomLines(BaseWorkersPool):
-    def __init__(self, workers_count=None, zoomed_height=None, minimal_width=None):
+def plan_paragraph_lines(band_pred, thresholded_input=False):
+    """One paragraph's line-band prediction -> (bboxes, rotation).
+
+    The planning half of the line stage: threshold both band channels
+    (reference rule arr > 0.5*(mean+max), :437-438), label them, pair and
+    order them (rearrange_lines), and take each pair's union bbox."""
+    def threshold(channel):
+        if thresholded_input:
+            return channel > 0
+        return channel > 0.5 * (np.mean(channel) + np.max(channel))
+
+    tops, bottoms, rotation = rearrange_lines(
+        label_layer(threshold(band_pred[:, :, :, 0:1])),
+        label_layer(threshold(band_pred[:, :, :, 1:2])))
+    bboxes = []
+    for top, bottom in zip(tops, bottoms):
+        _, top_y, top_x, _ = ndimage.find_objects(top)[0]
+        _, bot_y, bot_x, _ = ndimage.find_objects(bottom)[0]
+        bboxes.append((
+            slice(min(top_y.start, bot_y.start),
+                  max(top_y.stop, bot_y.stop)),
+            slice(min(top_x.start, bot_x.start),
+                  max(top_x.stop, bot_x.stop))))
+    return bboxes, rotation
+
+
+def extract_line(image, bbox, rotation, zoomed_height, minimal_width):
+    """The pixel half: crop one line's bbox, fix its orientation, zoom it
+    to the char model's input height, right-pad to the minimum width."""
+    y, x = bbox
+    line = rotate_array(image[:, y, x, :], rotation)
+    if zoomed_height is not None:
+        factor = zoomed_height / line.shape[1]
+        line = ndimage.zoom(line, (1, factor, factor, 1), order=0)
+    if minimal_width is not None and line.shape[2] < minimal_width:
+        padded = np.zeros(line.shape[:2] + (minimal_width, line.shape[3]),
+                          dtype=line.dtype)
+        padded[:, :, :line.shape[2], :] = line
+        line = padded
+    return line
+
+
+def extract_paragraph_lines(band_pred, images, zoomed_height,
+                            minimal_width):
+    """Plan one paragraph's lines once, extract them from every
+    co-registered image: returns [image][line]."""
+    bboxes, rotation = plan_paragraph_lines(band_pred)
+    return [[extract_line(image, bbox, rotation, zoomed_height,
+                          minimal_width) for bbox in bboxes]
+            for image in images]
+
+
+class CropRotateAndZoomLines(StagePool):
+    """Line crop stage: one pool task per paragraph plans and extracts
+    every line of every co-registered array.  Call with masks
+    ([paragraph] band predictions) and arrays ([kind][paragraph]);
+    returns [kind][paragraph][line]."""
+
+    def __init__(self, workers_count=None, zoomed_height=None,
+                 minimal_width=None):
         super().__init__(workers_count)
         self.zoomed_height = zoomed_height
         self.minimal_width = minimal_width
-        self.timers = {
-            'mask_mean': dt.now() - dt.now(),
-            'rearrange': dt.now() - dt.now(),
-            'slices': dt.now() - dt.now(),
-            'crop_and_rotate': dt.now() - dt.now(),
-        }
 
     def __call__(self, masks, arrays):
-        return super().__call__(masks, arrays)
-
-    def _func(self, pool, masks, arrays):
-        def thresholded(arr):
-            return arr > 0.5 * (np.mean(arr) + np.max(arr))
-
-        rearrange_ts = dt.now()
-
-        async_rearranged = []
-        for mask, *_ in zip(masks, *arrays):
-            mask_mean_ts = dt.now()
-            top = thresholded(mask[:, :, :, 0:1])
-            bottom = thresholded(mask[:, :, :, 1:2])
-            self.timers['mask_mean'] += dt.now() - mask_mean_ts
-
-            r = pool.apply_async(rearrange_lines, (
-                label_layer(top), label_layer(bottom)))
-            async_rearranged.append(r)
-
-        slices_ts = dt.now()
-
-        async_slices = []
-        result = [[] for _ in arrays]
-        for paragraph_id, _ in enumerate(zip(masks, *arrays)):
-            for array_id in range(len(arrays)):
-                result[array_id].append([])
-            top_mask, bottom_mask, rotation = async_rearranged[paragraph_id].get()
-            for line_id in range(len(top_mask)):
-                for array_id in range(len(arrays)):
-                    result[array_id][paragraph_id].append(None)
-                index = (paragraph_id, line_id)
-                r = pool.apply_async(self._merge_band_bboxes, (
-                    top_mask[line_id], bottom_mask[line_id]))
-                async_slices.append((index, r, rotation))
-
-        self.timers['rearrange'] += dt.now() - rearrange_ts
-        crop_and_rotate_ts = dt.now()
-
-        async_res = []
-        for (paragraph_id, line_id), slices, rotation in async_slices:
-            y, x = slices.get()
-            for array_id in range(len(arrays)):
-                index = (array_id, paragraph_id, line_id)
-                r = pool.apply_async(self._crop_rotate_zoom, (
-                    arrays[array_id][paragraph_id], y, x, rotation,
-                    self.zoomed_height, self.minimal_width))
-                async_res.append((index, r))
-
-        self.timers['slices'] += dt.now() - slices_ts
-
-        for (array_id, paragraph_id, line_id), res in async_res:
-            result[array_id][paragraph_id][line_id] = res.get()
-        self.timers['crop_and_rotate'] += dt.now() - crop_and_rotate_ts
-
-        return result
-
-    @staticmethod
-    def _merge_band_bboxes(top_mask, bottom_mask):
-        """Union bbox of the matched top/bottom bands (reference :494-502)."""
-        _, top_y, top_x, _ = ndimage.find_objects(top_mask)[0]
-        _, bottom_y, bottom_x, _ = ndimage.find_objects(bottom_mask)[0]
-        y = slice(min(top_y.start, bottom_y.start),
-                  max(top_y.stop, bottom_y.stop))
-        x = slice(min(top_x.start, bottom_x.start),
-                  max(top_x.stop, bottom_x.stop))
-        return y, x
-
-    @staticmethod
-    def _crop_rotate_zoom(image, y, x, rotation, zoomed_height, minimal_width):
-        """Crop a line band, fix its orientation, zoom to the Char model's
-        input height, pad to its minimum width (reference :504-523)."""
-        final_image = image[:, y, x, :]
-
-        if rotation is not None:
-            final_image = rotate_array(final_image, rotation)
-
-        if zoomed_height is not None:
-            height = final_image.shape[1]
-            zf = zoomed_height / height
-            final_image = ndimage.zoom(final_image, (1, zf, zf, 1), order=0)
-
-        if minimal_width is not None and final_image.shape[2] < minimal_width:
-            bs, h, w, ch = final_image.shape
-            tmp = np.zeros((bs, h, minimal_width, ch), dtype=final_image.dtype)
-            tmp[:, :, :w, :] = final_image
-            final_image = tmp
-
-        return final_image
+        tasks = [
+            self._pool.apply_async(
+                extract_paragraph_lines,
+                (mask, [kind[p] for kind in arrays],
+                 self.zoomed_height, self.minimal_width))
+            for p, mask in enumerate(masks)]
+        by_paragraph = [task.get() for task in tasks]
+        return [[by_paragraph[p][k] for p in range(len(masks))]
+                for k in range(len(arrays))]
 
 
 # ---------------------------------------------------------------------------
@@ -643,25 +574,11 @@ def label_char_line(array):
     return result
 
 
-class LabelChar(BaseWorkersPool):
+class LabelChar(StagePool):
+    """GT char labels from bit-plane line crops ([paragraph][line])."""
+
     def __call__(self, arrays):
-        return super().__call__(arrays)
-
-    def _func(self, pool, arrays):
-        result = []
-        async_res = []
-        for paragraph_id in range(len(arrays)):
-            result.append([])
-            for line_id in range(len(arrays[paragraph_id])):
-                result[paragraph_id].append(None)
-                r = pool.apply_async(label_char_line,
-                                     (arrays[paragraph_id][line_id],))
-                async_res.append(((paragraph_id, line_id), r))
-
-        for (paragraph_id, line_id), res in async_res:
-            result[paragraph_id][line_id] = res.get()
-
-        return result
+        return self.map_nested(label_char_line, arrays)
 
 
 # ---------------------------------------------------------------------------
@@ -761,27 +678,13 @@ def pred_to_text_line(prediction, collapse_runs=False):
     return result
 
 
-class PredToText(BaseWorkersPool):
+class PredToText(StagePool):
+    """Decode per-line predictions to text ([paragraph][line])."""
+
     def __init__(self, workers_count=None, collapse_runs=False):
         super().__init__(workers_count)
         self.collapse_runs = collapse_runs
 
     def __call__(self, prediction):
-        return super().__call__(prediction)
-
-    def _func(self, pool, prediction):
-        result = []
-        async_res = []
-        for paragraph_id in range(len(prediction)):
-            result.append([])
-            for line_id in range(len(prediction[paragraph_id])):
-                result[paragraph_id].append(None)
-                r = pool.apply_async(
-                    pred_to_text_line,
-                    (prediction[paragraph_id][line_id], self.collapse_runs))
-                async_res.append(((paragraph_id, line_id), r))
-
-        for (paragraph_id, line_id), res in async_res:
-            result[paragraph_id][line_id] = res.get()
-
-        return result
+        return self.map_nested(pred_to_text_line, prediction,
+                               self.collapse_runs)

@@ -1,5 +1,11 @@
-"""Datasets: disk-backed PNG layers, on-the-fly generation, random subsets
-(reference my_model/datasets.py)."""
+"""Datasets over the synthetic page corpus.
+
+Three sources behind one interface — PNG layers on disk, on-the-fly
+rendering, random subset views — plus the array<->image codecs the web
+views and progress dumps share (the surface of reference
+my_model/datasets.py, reorganized around a single codec helper and
+in-memory caching: PNG decode dominated the reference's per-step host
+time on a ~100-page corpus that easily fits in RAM)."""
 
 import random
 
@@ -9,132 +15,138 @@ from PIL import Image
 from .constants import (LAYER_NAMES, LAYER_NAMES_PLAIN, LAYER_TAGS,
                         TRAIN_DATA_PATH, TRAIN_DATASET_LENGTH,
                         VALIDATION_DATA_PATH, VALIDATION_DATASET_LENGTH)
-from .train_data_generator import encode_layers, generate_picture
+from .train_data_generator import encode_layers, render_page
+
+# ---------------------------------------------------------------------------
+# Array <-> image codecs
+# ---------------------------------------------------------------------------
+
+
+def _to_unit_nhwc(plane):
+    """2D uint8 grid -> (1, H, W, 1) float in [0, 1]."""
+    plane = np.asarray(plane)
+    return plane.reshape((1,) + plane.shape + (1,)) / 255.0
 
 
 def encode_X(image):
-    """PIL L image -> (1, H, W, 1) float in [0, 1] (reference :16-19)."""
-    X = np.asarray(image)
-    X = np.reshape(X, (1, *X.shape, 1)) / 255
-    return X
+    """PIL L image -> (1, H, W, 1) float input tensor."""
+    return _to_unit_nhwc(image)
 
 
 def decode_X(X):
+    """Input tensor (or a singleton list of one) -> PIL L image."""
     if isinstance(X, list):
         X = X[0]
-    X = np.asarray(X[0, :, :, 0] * 255).astype(np.uint8)
-    return Image.fromarray(X)
+    grid = np.asarray(X)[0, :, :, 0] * 255
+    return Image.fromarray(grid.astype(np.uint8))
 
 
 def encode_ys(images):
+    """Flat list of per-layer PIL images (LAYER_TAGS order) -> list of
+    (1, H, W, C) float targets, one per tag."""
     ys = []
-    idx = 0
+    flat = iter(images)
     for tag in LAYER_TAGS:
-        y = []
-        for _ in LAYER_NAMES[tag]:
-            y.append(np.asarray(images[idx]))
-            idx += 1
-        y = np.moveaxis(np.array(y), 0, -1)
-        y = np.reshape(y, (1, *y.shape)) / 255
-        ys.append(y)
+        group = [np.asarray(next(flat)) for _ in LAYER_NAMES[tag]]
+        ys.append(np.stack(group, axis=-1)[None] / 255.0)
     return ys
 
 
+def _channel_images(grid, normalize):
+    """One 2D float map -> (raw PIL image, thresholded-at-mean image)."""
+    grid = np.asarray(grid, np.float64)
+    if normalize:
+        grid = grid - grid.min()
+        peak = grid.max()
+        if not np.isclose(peak, 0):
+            grid = grid / peak
+    binary = (grid >= grid.mean()).astype(np.uint8) * 255
+    return (Image.fromarray((grid * 255).astype(np.uint8)),
+            Image.fromarray(binary))
+
+
 def decode_y(y, normalize=False, four_dims=True):
-    """Prediction channels -> (images, thresholded-at-mean images)
-    (reference :44-65)."""
-    pred_images = []
-    thresholded_images = []
+    """Prediction channels -> (images, thresholded-at-mean images)."""
     y = np.asarray(y)
-    if four_dims:
-        y = [y[0, :, :, i] for i in range(y.shape[-1])]
-    else:
-        y = [y]
-    for yi in y:
-        yi = np.array(yi, dtype=np.float64)
-        if normalize:
-            yi -= np.min(yi)
-            max_val = np.max(yi)
-            if not np.isclose(max_val, 0):
-                yi /= max_val
-        cm = np.mean(yi)
-        thresholded = ((yi >= cm) * 255).astype(np.uint8)
-        yi = (yi * 255).astype(np.uint8)
-        pred_images.append(Image.fromarray(yi))
-        thresholded_images.append(Image.fromarray(thresholded))
-    return pred_images, thresholded_images
+    channels = ([y[0, :, :, i] for i in range(y.shape[-1])]
+                if four_dims else [y])
+    decoded = [_channel_images(c, normalize) for c in channels]
+    return [d[0] for d in decoded], [d[1] for d in decoded]
 
 
 def decode_ys(ys, normalize=False):
-    pred_images = []
-    thresholded_images = []
+    """Per-tag predictions -> flat (images, thresholded images) lists."""
+    pred_images, thresholded_images = [], []
     for y in ys:
-        p, th = decode_y(y, normalize)
-        pred_images.extend(p)
-        thresholded_images.extend(th)
+        raw, binary = decode_y(y, normalize)
+        pred_images += raw
+        thresholded_images += binary
     return pred_images, thresholded_images
 
 
 def get_layer_names(layer_tags=None):
-    return [
-        name
-        for tag in LAYER_TAGS
-        if layer_tags is None or tag in layer_tags
-        for name in LAYER_NAMES[tag]
-    ]
+    tags = LAYER_TAGS if layer_tags is None else layer_tags
+    return [name for tag in LAYER_TAGS if tag in tags
+            for name in LAYER_NAMES[tag]]
+
+
+# ---------------------------------------------------------------------------
+# Dataset sources
+# ---------------------------------------------------------------------------
 
 
 class BaseDataset:
+    """A sized source of per-page layer images; `get` returns them
+    encoded as {tag: (1, H, W, C) float} ready for the model system."""
+
     def __init__(self, size):
         self.size = size
+
+    def __len__(self):
+        return self.size
 
     def get(self, idx, layer_images=None, layer_tags=None):
         if layer_images is None:
             layer_images = self.get_images(idx, layer_tags=layer_tags)
         elif layer_tags is not None:
-            layer_names = get_layer_names(layer_tags)
-            layer_images = {name: layer_images[name] for name in layer_names}
+            keep = set(get_layer_names(layer_tags))
+            layer_images = {name: img for name, img in layer_images.items()
+                            if name in keep}
         return encode_layers(layer_images)
 
     def get_images(self, idx, layer_tags=None):
         raise NotImplementedError()
 
-    def __len__(self):
-        return self.size
-
 
 class Dataset(BaseDataset):
-    """Reads `{idx}_{layer_name}.png` files (reference :108-124).
-
-    Decoded images are cached in memory: the trainer touches every sample
-    every epoch, and PNG decode dominated the reference's per-step host
-    time (the corpus is ~100 pages — it fits)."""
+    """`{idx}_{layer_name}.png` files under a directory, decoded lazily
+    and cached in memory."""
 
     def __init__(self, size, dirpath, cache=True):
         super().__init__(size)
         self.dirpath = dirpath
         self._cache = {} if cache else None
 
+    def _load(self, idx, layer_name):
+        key = (idx, layer_name)
+        if self._cache is not None and key in self._cache:
+            return self._cache[key]
+        img = Image.open(
+            self.dirpath / f'{idx}_{layer_name}.png').convert('L')
+        if self._cache is not None:
+            self._cache[key] = img
+        return img
+
     def get_images(self, idx, layer_tags=None):
-        layer_names = get_layer_names(layer_tags)
-        wanted = [name for name in LAYER_NAMES_PLAIN
-                  if layer_tags is None or name in layer_names]
-        images = {}
-        for layer_name in wanted:
-            key = (idx, layer_name)
-            if self._cache is not None and key in self._cache:
-                images[layer_name] = self._cache[key]
-                continue
-            img = Image.open(
-                self.dirpath / f'{idx}_{layer_name}.png').convert('L')
-            if self._cache is not None:
-                self._cache[key] = img
-            images[layer_name] = img
-        return images
+        keep = (set(get_layer_names(layer_tags))
+                if layer_tags is not None else None)
+        return {name: self._load(idx, name)
+                for name in LAYER_NAMES_PLAIN
+                if keep is None or name in keep}
 
 
 class GeneratorDataset(BaseDataset):
-    """On-the-fly page generation (reference :127-143)."""
+    """Pages rendered on demand (no disk corpus needed)."""
 
     def __init__(self, size, width, height):
         super().__init__(size)
@@ -143,28 +155,21 @@ class GeneratorDataset(BaseDataset):
 
     def get_images(self, idx, layer_tags=None, width=None, height=None,
                    rotate=False):
-        width = self.width if width is None else width
-        height = self.height if height is None else height
-        picture = generate_picture(width, height, rotate)
-        layer_names = get_layer_names(layer_tags)
-        return {
-            layer_name: image.convert('L')
-            for layer_name, image in picture.items()
-            if layer_name in layer_names
-        }
+        picture = render_page(width or self.width, height or self.height,
+                              rotate)
+        keep = set(get_layer_names(layer_tags))
+        return {name: img.convert('L') for name, img in picture.items()
+                if name in keep}
 
 
 class RandomSelectDataset(BaseDataset):
-    """Random distinct-index subset view (reference :146-157)."""
+    """A random fixed subset of another dataset (the reference drew
+    50-page training subsets per curriculum stage this way)."""
 
     def __init__(self, size, source_dataset):
         super().__init__(size)
         self.source_dataset = source_dataset
-        self.selected = []
-        while len(self.selected) < self.size:
-            idx = random.choice(range(len(source_dataset)))
-            if idx not in self.selected:
-                self.selected.append(idx)
+        self.selected = random.sample(range(len(source_dataset)), size)
 
     def get_images(self, idx, layer_tags=None):
         return self.source_dataset.get_images(self.selected[idx],

@@ -232,14 +232,10 @@ def zoomed_line_crops(crop_stack, para_idx,
 # ---------------------------------------------------------------------------
 
 
-def _band_masks(params, crops, h_valid, w_valid, precision=None):
+def _thresholded_bands(params, crops, h_valid, w_valid, precision=None):
     """Masked Line forward + the reference's band thresholding
     (arr > 0.5*(mean+max) over the valid region, interpreter.py:437-438).
-
-    Returns the (B, H, W/8, 2) uint8 bit-packed masks.  (A compact
-    per-row run encoding was evaluated and rejected: 56% of nonempty band
-    rows carry 2-15 runs — word gaps — so the 1-bit planes are already
-    the minimal exact payload; scripts/band_stats.py.)"""
+    Returns the (B, H, W, 2) boolean band masks."""
     pred = line_forward_masked(params, crops, h_valid, w_valid,
                                prefix='Line', precision=precision)
     pred = _mask_hw(pred, h_valid, w_valid)
@@ -251,9 +247,198 @@ def _band_masks(params, crops, h_valid, w_valid, precision=None):
              & (cols < w_valid.reshape(-1, 1, 1, 1)))
     mean = jnp.sum(pred, axis=(1, 2), keepdims=True) / (hv * wv)
     peak = jnp.max(pred, axis=(1, 2), keepdims=True)
-    bands = (pred > 0.5 * (mean + peak)) & valid
+    return (pred > 0.5 * (mean + peak)) & valid
 
+
+def _band_masks(params, crops, h_valid, w_valid, precision=None,
+                tables=False):
+    """Band geometry payload of the paragraph stage.
+
+    tables=False: the (B, H, W/8, 2) uint8 bit-packed masks — the exact
+    payload the host CCL path consumes.  (A compact per-row run encoding
+    was evaluated and rejected: 56% of nonempty band rows carry 2-15 runs
+    — word gaps — so the 1-bit planes are already the minimal exact
+    payload; scripts/band_stats.py.)
+
+    tables=True: per-blob summary tables (band_blob_tables) — ~20-100x
+    fewer D2H bytes AND no host CCL/argwhere work; the serving default.
+    """
+    bands = _thresholded_bands(params, crops, h_valid, w_valid,
+                               precision=precision)
+    if tables:
+        return band_blob_tables(bands)
     return jnp.packbits(bands.astype(jnp.uint8), axis=2)
+
+
+# ---------------------------------------------------------------------------
+# On-device band blob tables (line planning without shipping masks)
+# ---------------------------------------------------------------------------
+#
+# The reference plans line crops on the host: scipy CCL over each band
+# channel, per-blob bbox + center of mass, nearest-center top/bottom
+# pairing (interpreter.py:421-523).  Shipping the band masks off-device
+# for that was the cascade's largest remaining D2H payload (BASELINE.md
+# round 2: 14.3 MB / ~2.1 s busy per 32 pages) and the host CCL its
+# largest compute block (~4.5 s).
+#
+# These tables compute the SAME per-blob quantities on device, exploiting
+# the problem's structure instead of general CCL: text-line bands are
+# horizontal (or, for 90-degree-rotated paragraphs, vertical) stripes, so
+# connected components coincide with maximal runs of consecutive
+# non-empty rows (resp. columns).  Both decompositions are computed; the
+# host picks the axis with more blobs in the top channel (a level
+# paragraph yields one blob per line along rows and a single blob along
+# columns; rotated paragraphs the reverse; for a single line both agree).
+#
+# Two deliberate differences from per-pixel CCL, both accuracy-POSITIVE
+# (band fragmentation was the dominant end-to-end error source,
+# BASELINE.md round 2):
+#   * fragments of one band that share rows (horizontal splits at word
+#     gaps) group into one blob;
+#   * runs separated by <= 2*CLOSE_RADIUS empty rows merge (1D
+#     morphological closing on the row-occupancy vector) — real
+#     inter-line gaps are an x-height or more.
+
+#: blob-table capacity per (paragraph, channel, axis); a paragraph holds
+#: <= ~15 lines, and same-row fragments already share a blob
+MAX_BAND_BLOBS = 48
+#: 1D closing radius on the occupancy vector: fills <= 2-row gaps
+CLOSE_RADIUS = 1
+
+
+def _close_runs(occ, radius):
+    """1D morphological closing along axis 1 of an (B, L, C) {0,1} float
+    occupancy tensor: dilation then erosion, window 2*radius+1.  Padding
+    is the reduction's identity, so boundary runs neither grow past the
+    array nor get eroded by it."""
+    if not radius:
+        return occ > 0.5
+    win = (1, 2 * radius + 1, 1)
+    one = (1, 1, 1)
+    dil = lax.reduce_window(occ, -jnp.inf, lax.max, win, one, 'SAME')
+    ero = lax.reduce_window(dil, jnp.inf, lax.min, win, one, 'SAME')
+    return ero > 0.5
+
+
+def _axis_blob_tables(bands, close_radius, max_blobs):
+    """Row-axis blob decomposition of (B, H, W, C) boolean band masks.
+
+    Returns (table, n_blobs): table is (B, max_blobs, 7, C) f32 with
+    fields [count, y0, y1, x0, x1, cy, cx] per blob (bbox half-open,
+    cy/cx the pixel center of mass — matching np.argwhere(mask).mean(0)),
+    n_blobs (B, C) int32.  Call on the transposed masks for the
+    column-axis decomposition (fields then come back y<->x swapped)."""
+    b = bands.astype(jnp.float32)                           # (B,H,W,C)
+    B, H, W, C = b.shape
+    colsf = jnp.arange(W, dtype=jnp.float32).reshape(1, 1, W, 1)
+    colsi = jnp.arange(W, dtype=jnp.int32).reshape(1, 1, W, 1)
+    cnt_r = jnp.sum(b, axis=2)                              # (B,H,C)
+    sumx_r = jnp.sum(b * colsf, axis=2)                     # (B,H,C)
+    minx_r = jnp.min(jnp.where(bands, colsi, W), axis=2)    # (B,H,C)
+    maxx_r = jnp.max(jnp.where(bands, colsi, -1), axis=2)   # (B,H,C)
+    occ = cnt_r > 0                                         # (B,H,C)
+
+    closed = _close_runs(occ.astype(jnp.float32), close_radius)
+    prev = jnp.pad(closed[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    starts = closed & ~prev
+    ids = jnp.cumsum(starts.astype(jnp.int32), axis=1) - 1  # (B,H,C)
+    n_blobs = jnp.max(jnp.where(closed, ids, -1), axis=1) + 1   # (B,C)
+
+    blob_ids = jnp.arange(max_blobs, dtype=jnp.int32)
+    member = ((ids[:, :, None, :] == blob_ids.reshape(1, 1, -1, 1))
+              & closed[:, :, None, :])                      # (B,H,M,C)
+    oh = member.astype(jnp.float32)
+    rowsf = jnp.arange(H, dtype=jnp.float32).reshape(1, H, 1)
+    cnt_b = jnp.einsum('bhmc,bhc->bmc', oh, cnt_r)
+    sumx_b = jnp.einsum('bhmc,bhc->bmc', oh, sumx_r)
+    sumy_b = jnp.einsum('bhmc,bhc->bmc', oh, cnt_r * rowsf)
+
+    # bbox extremes over the blob's truly-occupied rows (closing's filler
+    # rows are empty and must not extend the bbox)
+    filled = member & occ[:, :, None, :]
+    rowsi = jnp.arange(H, dtype=jnp.int32).reshape(1, H, 1, 1)
+    y0 = jnp.min(jnp.where(filled, rowsi, H), axis=1)       # (B,M,C)
+    y1 = jnp.max(jnp.where(filled, rowsi, -1), axis=1) + 1
+    x0 = jnp.min(jnp.where(filled, minx_r[:, :, None, :], W), axis=1)
+    x1 = jnp.max(jnp.where(filled, maxx_r[:, :, None, :], -1), axis=1) + 1
+
+    denom = jnp.maximum(cnt_b, 1.0)
+    table = jnp.stack([
+        cnt_b,
+        y0.astype(jnp.float32), y1.astype(jnp.float32),
+        x0.astype(jnp.float32), x1.astype(jnp.float32),
+        sumy_b / denom, sumx_b / denom,
+    ], axis=2)                                              # (B,M,7,C)
+    # zero the unused slots (the min/max identities above would otherwise
+    # leave H/W sentinels there)
+    used = blob_ids.reshape(1, -1, 1) < n_blobs[:, None, :]  # (B,M,C)
+    table = table * used[:, :, None, :].astype(jnp.float32)
+    return table, n_blobs
+
+
+def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
+                     max_blobs=MAX_BAND_BLOBS):
+    """Both-axis blob tables of (B, H, W, C) boolean band masks.
+
+    Returns (tables, n_blobs): tables (B, 2, max_blobs, 7, C) f32 with
+    axis 1 = {0: row-run decomposition, 1: column-run decomposition},
+    fields [count, y0, y1, x0, x1, cy, cx] in ORIGINAL image coordinates
+    for both axes; n_blobs (B, 2, C) int32."""
+    rows_tbl, rows_n = _axis_blob_tables(bands, close_radius, max_blobs)
+    cols_tbl, cols_n = _axis_blob_tables(
+        jnp.transpose(bands, (0, 2, 1, 3)), close_radius, max_blobs)
+    # un-transpose the column-axis fields back to image coordinates
+    cols_tbl = cols_tbl[:, :, (0, 3, 4, 1, 2, 6, 5), :]
+    tables = jnp.stack([rows_tbl, cols_tbl], axis=1)
+    n_blobs = jnp.stack([rows_n, cols_n], axis=1)
+    return tables, n_blobs
+
+
+def band_blob_tables_host(bands, close_radius=CLOSE_RADIUS,
+                          max_blobs=MAX_BAND_BLOBS):
+    """NumPy reference of band_blob_tables (same fields, same merge
+    semantics) — the equality pin for the device kernel and the host
+    fallback when planning without a device round trip."""
+    bands = np.asarray(bands, bool)
+    B, H, W, C = bands.shape
+    tables = np.zeros((B, 2, max_blobs, 7, C), np.float32)
+    n_blobs = np.zeros((B, 2, C), np.int32)
+    for axis in range(2):
+        view = bands if axis == 0 else bands.transpose(0, 2, 1, 3)
+        L = view.shape[1]
+        for bi in range(B):
+            for c in range(C):
+                m = view[bi, :, :, c]
+                occ = m.any(axis=1)
+                closed = occ.copy()
+                if close_radius:
+                    r = close_radius
+                    dil = np.zeros_like(occ)
+                    for s in range(-r, r + 1):
+                        lo, hi = max(0, -s), min(L, L - s)
+                        dil[lo:hi] |= occ[lo + s:hi + s]
+                    closed = np.ones_like(occ)
+                    for s in range(-r, r + 1):
+                        pad = np.ones(L, bool)
+                        lo, hi = max(0, -s), min(L, L - s)
+                        pad[lo:hi] = dil[lo + s:hi + s]
+                        closed &= pad
+                starts = closed & ~np.concatenate([[False], closed[:-1]])
+                ids = np.cumsum(starts) - 1
+                nb = int(ids[closed].max() + 1) if closed.any() else 0
+                n_blobs[bi, axis, c] = nb
+                for blob in range(min(nb, max_blobs)):
+                    rows = np.where(closed & (ids == blob) & occ)[0]
+                    ys, xs = np.nonzero(m[rows])
+                    cnt = len(ys)
+                    y0, y1 = rows.min(), rows.max() + 1
+                    x0, x1 = xs.min(), xs.max() + 1
+                    cy = (rows[ys]).mean()
+                    cx = xs.mean()
+                    entry = ([cnt, y0, y1, x0, x1, cy, cx] if axis == 0
+                             else [cnt, x0, x1, y0, y1, cx, cy])
+                    tables[bi, axis, blob, :, c] = entry
+    return tables, n_blobs
 
 
 def level_paragraph_crops(padded_stack, blob_bits, page_idx,
@@ -287,13 +472,13 @@ def level_paragraph_crops(padded_stack, blob_bits, page_idx,
 
 def paragraph_stage_fast(params, padded_stack, blob_bits, page_idx,
                          start_y, start_x, h_valid, w_valid,
-                         precision=None):
+                         precision=None, tables=False):
     """Fused level-paragraph stage: dynamic-slice crop + masked Line FCN +
     band thresholding.  Returns (crops, packed_bands)."""
     crops = level_paragraph_crops(padded_stack, blob_bits, page_idx,
                                   start_y, start_x)
     packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision)
+                         precision=precision, tables=tables)
     return crops, packed
 
 
@@ -338,14 +523,14 @@ def level_paragraph_crops_resident(padded_stack, padded_para, page_idx,
 def paragraph_stage_resident(params, padded_stack, padded_para, page_idx,
                              start_y, start_x, src_h, src_w, pad_y, pad_x,
                              h_valid, w_valid, out_hb, out_wb,
-                             precision=None):
+                             precision=None, tables=False):
     """paragraph_stage_fast without the blob upload (single-component
     bboxes; see level_paragraph_crops_resident)."""
     crops = level_paragraph_crops_resident(
         padded_stack, padded_para, page_idx, start_y, start_x,
         src_h, src_w, pad_y, pad_x, out_hb, out_wb)
     packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision)
+                         precision=precision, tables=tables)
     return crops, packed
 
 
@@ -415,7 +600,8 @@ def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
                                  cos_a, sin_a, off_y, off_x,
                                  out_y0, out_x0, out_h, out_w,
                                  pad_y, pad_x, h_valid, w_valid,
-                                 out_hb, out_wb, precision=None):
+                                 out_hb, out_wb, precision=None,
+                                 tables=False):
     """paragraph_stage without the blob upload (deskewed single-component
     bboxes)."""
     crops = rotated_paragraph_crops_resident(
@@ -423,7 +609,7 @@ def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
         cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
         pad_y, pad_x, out_hb, out_wb)
     packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision)
+                         precision=precision, tables=tables)
     return crops, packed
 
 
@@ -431,7 +617,7 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
                     src_y0, src_x0, src_h, src_w,
                     cos_a, sin_a, off_y, off_x, out_y0, out_x0,
                     out_h, out_w, pad_y, pad_x, h_valid, w_valid,
-                    precision=None):
+                    precision=None, tables=False):
     """Fused deskewed-paragraph stage (the rare angle!=None path): bilinear
     rotation gather + masked Line FCN + band thresholding.
     Returns (crops, packed_bands)."""
@@ -440,7 +626,7 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
         cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
         pad_y, pad_x)
     packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision)
+                         precision=precision, tables=tables)
     return crops, packed
 
 

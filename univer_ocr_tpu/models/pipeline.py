@@ -100,7 +100,8 @@ class OCRPipeline:
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
                  quantized_transfers=True, mesh=None, use_pallas=None,
-                 device_cascade=False, precision='highest'):
+                 device_cascade=False, precision='highest',
+                 exact_bands=False):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -108,6 +109,16 @@ class OCRPipeline:
         self.collapse_runs = collapse_runs
         self.quantized_transfers = quantized_transfers
         self.device_cascade = device_cascade
+        #: device_cascade band geometry payload.  False (default): the
+        #: paragraph stage returns per-blob summary TABLES computed on
+        #: device (device_cascade.band_blob_tables) — ~20-100x fewer D2H
+        #: bytes, no host CCL, and same-row/small-gap band fragments merge
+        #: (an accuracy win: fragmentation was the dominant end-to-end
+        #: error, BASELINE.md round 2).  True: bit-packed band masks +
+        #: host scipy CCL, bit-identical to the host-cascade geometry —
+        #: the parity mode the equality tests pin.
+        self.exact_bands = exact_bands
+        self.band_tables = device_cascade and not exact_bands
         #: MXU policy for every model forward in this pipeline.  The
         #: constructor default is 'highest' (full-f32, numerics match the
         #: host path) so correctness-focused callers get exact results
@@ -284,6 +295,7 @@ class OCRPipeline:
             p_mask = (p > mean).astype(jnp.uint8)
             return m, jnp.packbits(p_mask, axis=2)
 
+        tables = self.band_tables
         if mesh is not None:
             from ..parallel.serving import (shard_cascade_stage,
                                             shard_fn_over_batch)
@@ -294,29 +306,35 @@ class OCRPipeline:
             # paragraph/line stages: the page/crop/mask stacks are
             # shared gather sources -> replicated; per-plan vectors shard
             self._paragraph_stage = shard_cascade_stage(
-                partial(paragraph_stage, precision=precision), mesh,
-                n_replicated=2)
+                partial(paragraph_stage, precision=precision,
+                        tables=tables), mesh, n_replicated=2)
             self._paragraph_stage_fast = shard_cascade_stage(
-                partial(paragraph_stage_fast, precision=precision), mesh,
-                n_replicated=2)
+                partial(paragraph_stage_fast, precision=precision,
+                        tables=tables), mesh, n_replicated=2)
             self._paragraph_stage_res = shard_cascade_stage(
-                partial(paragraph_stage_resident, precision=precision),
+                partial(paragraph_stage_resident, precision=precision,
+                        tables=tables),
                 mesh, n_replicated=3, static_argnums=(12, 13))
             self._paragraph_stage_rot_res = shard_cascade_stage(
-                partial(paragraph_stage_rot_resident, precision=precision),
+                partial(paragraph_stage_rot_resident, precision=precision,
+                        tables=tables),
                 mesh, n_replicated=3, static_argnums=(20, 21))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
             self._paragraph_stage = jax.jit(
-                partial(paragraph_stage, precision=precision))
+                partial(paragraph_stage, precision=precision,
+                        tables=tables))
             self._paragraph_stage_fast = jax.jit(
-                partial(paragraph_stage_fast, precision=precision))
+                partial(paragraph_stage_fast, precision=precision,
+                        tables=tables))
             self._paragraph_stage_res = jax.jit(
-                partial(paragraph_stage_resident, precision=precision),
+                partial(paragraph_stage_resident, precision=precision,
+                        tables=tables),
                 static_argnums=(12, 13))
             self._paragraph_stage_rot_res = jax.jit(
-                partial(paragraph_stage_rot_resident, precision=precision),
+                partial(paragraph_stage_rot_resident, precision=precision,
+                        tables=tables),
                 static_argnums=(20, 21))
         W_page_pad = page_shape[2]
 
@@ -378,17 +396,20 @@ class OCRPipeline:
         return self.timers.track(name)
 
     def _pull(self, arr, tag):
-        """Submit a D2H transfer to the transfer pool; on the profiling
-        path, record a wire-timeline entry."""
+        """Submit a D2H transfer to the transfer pool; `arr` may be a
+        pytree (the tables payload is a (tables, n_blobs) pair).  On the
+        profiling path, record a wire-timeline entry."""
+        tree = jax.tree_util.tree_map
         if self.timers is None:
-            return self._xfer.submit(np.asarray, arr)
+            return self._xfer.submit(tree, np.asarray, arr)
 
         def job():
             import time
             t0 = time.perf_counter()
-            out = np.asarray(arr)
-            self.timeline.append((tag, t0, time.perf_counter(),
-                                  out.nbytes))
+            out = tree(np.asarray, arr)
+            self.timeline.append((
+                tag, t0, time.perf_counter(),
+                sum(x.nbytes for x in jax.tree_util.tree_leaves(out))))
             return out
         return self._xfer.submit(job)
 
@@ -610,10 +631,13 @@ class OCRPipeline:
             start = 0
             while start < len(idxs):
                 r = len(idxs) - start
-                # small tail batches ship 4 slots of band bytes instead
-                # of 16 (the D2H payload scales with the batch, filled or
-                # not); under a mesh the batch must divide the data axis
-                Bsub = 4 if (r <= 4 and self.mesh is None) else B
+                # exact-bands mode: small tail batches ship 4 slots of
+                # band bytes instead of 16 (that payload scales with the
+                # batch, filled or not).  Tables mode ships ~5KB/slot, so
+                # one batch size suffices — half the compile menu.  Under
+                # a mesh the batch must divide the data axis.
+                Bsub = (4 if (r <= 4 and self.mesh is None
+                              and not self.band_tables) else B)
                 sel = idxs[start:start + Bsub]
                 start += Bsub
                 needs_blob = any(plans[i]['needs_blob'] for i in sel)
@@ -665,7 +689,8 @@ class OCRPipeline:
                         params, padded_mono, padded_para, iv['page'],
                         iv['start_y'], iv['start_x'], iv['h'], iv['w'],
                         iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb)
-                packed.copy_to_host_async()
+                for leaf in jax.tree_util.tree_leaves(packed):
+                    leaf.copy_to_host_async()
                 launches.append((sel, crops, packed))
         return launches
 
@@ -729,6 +754,67 @@ class OCRPipeline:
             bboxes.append((
                 slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
+        return self._plans_from_bboxes(bboxes, rotation)
+
+    def _plan_lines_from_tables(self, tbl, nb):
+        """Line gather plans from one paragraph's on-device blob tables
+        (band_blob_tables fields [count, y0, y1, x0, x1, cy, cx]).
+
+        Same pairing / orientation / ordering as _plan_lines, but the
+        per-blob geometry arrives precomputed: no mask bytes on the wire,
+        no host CCL.  tbl: (2, M, 7, 2) f32 [axis, blob, field, channel];
+        nb: (2, 2) int32 blob counts."""
+        cap = tbl.shape[1]
+        if nb.max() > cap:
+            import sys
+            print(f'WARNING: band blob table overflow ({int(nb.max())} > '
+                  f'{cap} blobs); extra blobs dropped', file=sys.stderr)
+        # Axis choice: a line's top band lies strictly above its bottom
+        # band, so along the correct (stacking) axis the two channels'
+        # run intervals are disjoint, while along the other axis they
+        # overlap almost completely (both span the text width).  Pick
+        # the axis with the smaller top<->bottom interval overlap; ties
+        # (single empty channel) fall to rows, matching level text.
+        def _interval_overlap(axis):
+            lo, hi = (1, 2) if axis == 0 else (3, 4)
+            nt = min(int(nb[axis, 0]), cap)
+            nbt = min(int(nb[axis, 1]), cap)
+            if nt == 0 or nbt == 0:
+                return 0.0
+            t = tbl[axis, :nt, :, 0]
+            b = tbl[axis, :nbt, :, 1]
+            ov = (np.minimum(t[:, None, hi], b[None, :, hi])
+                  - np.maximum(t[:, None, lo], b[None, :, lo]))
+            return float(np.maximum(ov, 0.0).sum())
+
+        axis = 0 if _interval_overlap(0) <= _interval_overlap(1) else 1
+        n_top = min(int(nb[axis, 0]), cap)
+        n_bottom = min(int(nb[axis, 1]), cap)
+        if n_top == 0 or n_bottom == 0:
+            return []
+        top = tbl[axis, :n_top, :, 0]                 # (n_top, 7)
+        bottom = tbl[axis, :n_bottom, :, 1]
+        cm_top, cm_bottom = top[:, 5:7], bottom[:, 5:7]
+        d = np.linalg.norm(cm_top[:, None, :] - cm_bottom[None, :, :],
+                           axis=-1)
+        pick = d.argmin(axis=1)
+        bottom = bottom[pick]
+        cm_bottom = cm_bottom[pick]
+
+        from ..interpreter.interpreter import (_ORIENTATION_KEYS,
+                                               _orientation_code)
+        delta = cm_top[0] - cm_bottom[0]
+        rotation = _orientation_code(delta[0], delta[1])
+        ax, sign = _ORIENTATION_KEYS[rotation]
+        order_top = np.argsort(sign * cm_top[:, ax - 1], kind='stable')
+        order_bottom = np.argsort(sign * cm_bottom[:, ax - 1],
+                                  kind='stable')
+        bboxes = []
+        for ti, bi in zip(order_top, order_bottom):
+            t, b = top[ti], bottom[bi]
+            bboxes.append((
+                slice(int(min(t[1], b[1])), int(max(t[2], b[2]))),
+                slice(int(min(t[3], b[3])), int(max(t[4], b[4])))))
         return self._plans_from_bboxes(bboxes, rotation)
 
     def _plans_from_bboxes(self, bboxes, rotation):
@@ -842,14 +928,24 @@ class OCRPipeline:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
-            with self._track('pull_band_masks'):
-                bands = np.unpackbits(fut.result(), axis=2)
-            with self._track('host_line_plans'):
-                flat = []
-                for bi in range(len(sel)):
-                    plan = plans[sel[bi]]
-                    view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
-                    flat.extend((bi, lp) for lp in self._plan_lines(view))
+            if self.band_tables:
+                with self._track('pull_band_tables'):
+                    tables, n_blobs = fut.result()
+                with self._track('host_line_plans'):
+                    flat = [(bi, lp)
+                            for bi in range(len(sel))
+                            for lp in self._plan_lines_from_tables(
+                                tables[bi], n_blobs[bi])]
+            else:
+                with self._track('pull_band_masks'):
+                    bands = np.unpackbits(fut.result(), axis=2)
+                with self._track('host_line_plans'):
+                    flat = []
+                    for bi in range(len(sel)):
+                        plan = plans[sel[bi]]
+                        view = bands[bi, :plan['hv'], :plan['wv'], :] > 0
+                        flat.extend((bi, lp)
+                                    for lp in self._plan_lines(view))
             with self._track('dispatch_line_stage'):
                 refs = self._dispatch_line_stage(crops_dev, flat)
             id_futures = [(ref_sel, self._pull(ids_dev, 'char_ids'))
@@ -936,7 +1032,8 @@ class OCRPipeline:
                         for _, crops_dev, packed in (
                                 self._dispatch_paragraph_stage(
                                     stacks, [dict(plan)] * n)):
-                            packed.block_until_ready()
+                            for leaf in jax.tree_util.tree_leaves(packed):
+                                leaf.block_until_ready()
                             crops_by_batch[crops_dev.shape[0]] = crops_dev
             # line-stage program per (crop-stack batch, char width) pair
             for crops_dev in crops_by_batch.values():
