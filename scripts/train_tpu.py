@@ -1,25 +1,50 @@
 """TPU training driver: configurable curriculum.
 
-    python scripts/train_tpu.py MONO PARA LINE CHAR [ALL]
+    python scripts/train_tpu.py MONO PARA LINE CHAR [ALL] [--batched]
+        [--batch=N] [--dp=N]
+
+--batched routes the single-model stages through the batched trainer
+(models/dp_train.py): host CV runs once per stage, epochs are a handful
+of fixed-shape weighted-batch launches.  --dp=N additionally shards each
+batch over an N-device 'data' mesh (requires N visible devices; use
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu for
+a virtual mesh).
 """
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+flags = [a for a in sys.argv[1:] if a.startswith('--')]
+args = [a for a in sys.argv[1:] if not a.startswith('--')]
+
 from univer_ocr_tpu.models.train import train_model
 from univer_ocr_tpu.models.model import Modes
 
+
 def arg(i, default):
-    return int(sys.argv[i]) if len(sys.argv) > i else default
+    return int(args[i]) if len(args) > i else default
+
 
 CURRICULUM = [
-    (Modes.TRAIN_MONOCHROME, 0.0015, 0.995, arg(1, 12)),
-    (Modes.TRAIN_PARAGRAPH, 0.0015, 0.995, arg(2, 12)),
-    (Modes.TRAIN_LINE, 0.0015, 0.995, arg(3, 12)),
-    (Modes.TRAIN_CHAR, 0.0015, 0.97, arg(4, 4)),
-    (Modes.TRAIN_ALL, 0.001, 0.97, arg(5, 0)),
+    (Modes.TRAIN_MONOCHROME, 0.0015, 0.995, arg(0, 12)),
+    (Modes.TRAIN_PARAGRAPH, 0.0015, 0.995, arg(1, 12)),
+    (Modes.TRAIN_LINE, 0.0015, 0.995, arg(2, 12)),
+    (Modes.TRAIN_CHAR, 0.0015, 0.97, arg(3, 4)),
+    (Modes.TRAIN_ALL, 0.001, 0.97, arg(4, 0)),
 ]
 CURRICULUM = [c for c in CURRICULUM if c[3] > 0]
 
-train_model(use_gpu=True, curriculum=CURRICULUM)
+batched = '--batched' in flags or any(f.startswith('--dp=') for f in flags)
+batch = next((int(f.split('=')[1]) for f in flags
+              if f.startswith('--batch=')), 16)
+mesh = None
+dp = next((int(f.split('=')[1]) for f in flags if f.startswith('--dp=')), 0)
+if dp:
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:dp]), ('data',))
+
+train_model(use_gpu=True, curriculum=CURRICULUM, batched=batched,
+            batch=batch, mesh=mesh)
 print('TRAINING DONE')

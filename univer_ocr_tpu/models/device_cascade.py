@@ -228,6 +228,42 @@ def zoomed_line_crops(crop_stack, para_idx,
 
 
 # ---------------------------------------------------------------------------
+# Packed plan vectors
+#
+# Every stage launch carries ~20 per-sample scalars (bbox, affine, padding,
+# valid extents).  Shipping them as separate (B,) arrays costs one H2D
+# round trip EACH over the tunneled link (~10-30ms apiece — more than the
+# whole launch's compute); the dispatcher packs them into one int32 and
+# one f32 matrix per launch and the stage programs slice columns out.
+# ---------------------------------------------------------------------------
+
+#: column order of the paragraph-stage int32 plan matrix
+PARAGRAPH_INT_FIELDS = ('page', 'y0', 'x0', 'h', 'w', 'ry0', 'rx0',
+                        'out_h', 'out_w', 'py', 'px', 'hv', 'wv',
+                        'start_y', 'start_x')
+#: column order of the paragraph-stage f32 plan matrix
+PARAGRAPH_FLT_FIELDS = ('cos', 'sin', 'off_y', 'off_x')
+#: column order of the line-stage int32 plan matrix
+LINE_INT_FIELDS = ('para_idx', 'w_out', 'a_yy', 'a_yx', 'b_y',
+                   'a_xy', 'a_xx', 'b_x', 'w_valid')
+#: column order of the line-stage f32 plan matrix
+LINE_FLT_FIELDS = ('ratio_y', 'ratio_x')
+
+
+def unpack_paragraph_plan(ints, floats):
+    """(B, 15) int32 + (B, 4) f32 -> per-field (B,) column dicts."""
+    iv = {name: ints[:, i] for i, name in enumerate(PARAGRAPH_INT_FIELDS)}
+    fv = {name: floats[:, i] for i, name in enumerate(PARAGRAPH_FLT_FIELDS)}
+    return iv, fv
+
+
+def unpack_line_plan(ints, floats):
+    iv = {name: ints[:, i] for i, name in enumerate(LINE_INT_FIELDS)}
+    fv = {name: floats[:, i] for i, name in enumerate(LINE_FLT_FIELDS)}
+    return iv, fv
+
+
+# ---------------------------------------------------------------------------
 # Fused stage programs
 # ---------------------------------------------------------------------------
 

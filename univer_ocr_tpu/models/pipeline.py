@@ -296,6 +296,47 @@ class OCRPipeline:
             return m, jnp.packbits(p_mask, axis=2)
 
         tables = self.band_tables
+        from .device_cascade import (unpack_line_plan,
+                                     unpack_paragraph_plan)
+
+        # jit roots take ONE packed int32 and ONE packed f32 plan matrix
+        # per launch (a (B,) array per scalar field would cost a tunnel
+        # round trip each; see device_cascade "Packed plan vectors")
+        def stage_rot_blob(params, mono_stack, blob, ints, floats):
+            iv, fv = unpack_paragraph_plan(ints, floats)
+            return paragraph_stage(
+                params, mono_stack, blob, iv['page'], iv['y0'], iv['x0'],
+                iv['h'], iv['w'], fv['cos'], fv['sin'], fv['off_y'],
+                fv['off_x'], iv['ry0'], iv['rx0'], iv['out_h'],
+                iv['out_w'], iv['py'], iv['px'], iv['hv'], iv['wv'],
+                precision=precision, tables=tables)
+
+        def stage_rot_res(params, mono_stack, para_stack, ints, floats,
+                          hb, wb):
+            iv, fv = unpack_paragraph_plan(ints, floats)
+            return paragraph_stage_rot_resident(
+                params, mono_stack, para_stack, iv['page'], iv['y0'],
+                iv['x0'], iv['h'], iv['w'], fv['cos'], fv['sin'],
+                fv['off_y'], fv['off_x'], iv['ry0'], iv['rx0'],
+                iv['out_h'], iv['out_w'], iv['py'], iv['px'], iv['hv'],
+                iv['wv'], hb, wb, precision=precision, tables=tables)
+
+        def stage_fast(params, padded_mono, blob, ints, floats):
+            iv, _ = unpack_paragraph_plan(ints, floats)
+            return paragraph_stage_fast(
+                params, padded_mono, blob, iv['page'], iv['start_y'],
+                iv['start_x'], iv['hv'], iv['wv'],
+                precision=precision, tables=tables)
+
+        def stage_res(params, padded_mono, padded_para, ints, floats,
+                      hb, wb):
+            iv, _ = unpack_paragraph_plan(ints, floats)
+            return paragraph_stage_resident(
+                params, padded_mono, padded_para, iv['page'],
+                iv['start_y'], iv['start_x'], iv['h'], iv['w'],
+                iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb,
+                precision=precision, tables=tables)
+
         if mesh is not None:
             from ..parallel.serving import (shard_cascade_stage,
                                             shard_fn_over_batch)
@@ -304,38 +345,24 @@ class OCRPipeline:
             self._front_resident = shard_fn_over_batch(front_resident,
                                                        mesh, n_batch_args=1)
             # paragraph/line stages: the page/crop/mask stacks are
-            # shared gather sources -> replicated; per-plan vectors shard
+            # shared gather sources -> replicated; plan matrices shard
             self._paragraph_stage = shard_cascade_stage(
-                partial(paragraph_stage, precision=precision,
-                        tables=tables), mesh, n_replicated=2)
+                stage_rot_blob, mesh, n_replicated=2)
             self._paragraph_stage_fast = shard_cascade_stage(
-                partial(paragraph_stage_fast, precision=precision,
-                        tables=tables), mesh, n_replicated=2)
+                stage_fast, mesh, n_replicated=2)
             self._paragraph_stage_res = shard_cascade_stage(
-                partial(paragraph_stage_resident, precision=precision,
-                        tables=tables),
-                mesh, n_replicated=3, static_argnums=(12, 13))
+                stage_res, mesh, n_replicated=3, static_argnums=(5, 6))
             self._paragraph_stage_rot_res = shard_cascade_stage(
-                partial(paragraph_stage_rot_resident, precision=precision,
-                        tables=tables),
-                mesh, n_replicated=3, static_argnums=(20, 21))
+                stage_rot_res, mesh, n_replicated=3, static_argnums=(5, 6))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
-            self._paragraph_stage = jax.jit(
-                partial(paragraph_stage, precision=precision,
-                        tables=tables))
-            self._paragraph_stage_fast = jax.jit(
-                partial(paragraph_stage_fast, precision=precision,
-                        tables=tables))
+            self._paragraph_stage = jax.jit(stage_rot_blob)
+            self._paragraph_stage_fast = jax.jit(stage_fast)
             self._paragraph_stage_res = jax.jit(
-                partial(paragraph_stage_resident, precision=precision,
-                        tables=tables),
-                static_argnums=(12, 13))
+                stage_res, static_argnums=(5, 6))
             self._paragraph_stage_rot_res = jax.jit(
-                partial(paragraph_stage_rot_resident, precision=precision,
-                        tables=tables),
-                static_argnums=(20, 21))
+                stage_rot_res, static_argnums=(5, 6))
         W_page_pad = page_shape[2]
 
         def prep_stacks(m, para_packed):
@@ -353,12 +380,13 @@ class OCRPipeline:
 
         self._prep_stacks = jax.jit(prep_stacks)
 
-        def line_stage(params, crop_stack, para_idx, ratio_y, ratio_x,
-                       w_out, a_yy, a_yx, b_y, a_xy, a_xx, b_x, w_valid,
-                       out_h, out_w):
+        def line_stage(params, crop_stack, ints, floats, out_h, out_w):
+            iv, fv = unpack_line_plan(ints, floats)
+            w_valid = iv['w_valid']
             lines = zoomed_line_crops_matmul(
-                crop_stack, para_idx, ratio_y, ratio_x, w_out,
-                a_yy, a_yx, b_y, a_xy, a_xx, b_x, out_h, out_w,
+                crop_stack, iv['para_idx'], fv['ratio_y'], fv['ratio_x'],
+                iv['w_out'], iv['a_yy'], iv['a_yx'], iv['b_y'],
+                iv['a_xy'], iv['a_xx'], iv['b_x'], out_h, out_w,
                 precision=precision)
             logits = char_forward_masked(params, lines, w_valid,
                                          precision=precision,
@@ -374,9 +402,9 @@ class OCRPipeline:
         if mesh is not None:
             from ..parallel.serving import shard_cascade_stage
             self._line_stage = shard_cascade_stage(
-                line_stage, mesh, n_replicated=2, static_argnums=(13, 14))
+                line_stage, mesh, n_replicated=2, static_argnums=(4, 5))
         else:
-            self._line_stage = jax.jit(line_stage, static_argnums=(13, 14))
+            self._line_stage = jax.jit(line_stage, static_argnums=(4, 5))
         self._pool = ThreadPoolExecutor(max_workers=workers)
         #: dedicated D2H pool: transfers are ~30ms round-trip each over
         #: the tunnel regardless of size, so ALL pulls of a chunk fly
@@ -643,52 +671,42 @@ class OCRPipeline:
                 needs_blob = any(plans[i]['needs_blob'] for i in sel)
                 blob = (np.zeros((Bsub, hb, wb // 8), np.uint8)
                         if needs_blob else None)
-                ints = {k: np.full((Bsub,), 4, np.int32)
-                        for k in ('y0', 'x0', 'h', 'w', 'ry0', 'rx0',
-                                  'out_h', 'out_w', 'py', 'px',
-                                  'hv', 'wv', 'start_y', 'start_x')}
-                ints['page'] = np.zeros((Bsub,), np.int32)
-                for k in ('ry0', 'rx0', 'py', 'px'):
-                    ints[k][:] = 0
-                ints['start_y'][:] = self.STACK_PAD
-                ints['start_x'][:] = self.STACK_PAD
-                floats = {'cos': np.ones((Bsub,), np.float32),
-                          'sin': np.zeros((Bsub,), np.float32),
-                          'off_y': np.zeros((Bsub,), np.float32),
-                          'off_x': np.zeros((Bsub,), np.float32)}
+                from .device_cascade import (PARAGRAPH_FLT_FIELDS,
+                                             PARAGRAPH_INT_FIELDS)
+                ints = np.zeros((Bsub, len(PARAGRAPH_INT_FIELDS)),
+                                np.int32)
+                floats = np.zeros((Bsub, len(PARAGRAPH_FLT_FIELDS)),
+                                  np.float32)
+                # filler rows: harmless 4x4 crop at the stack origin
+                for ci, k in enumerate(PARAGRAPH_INT_FIELDS):
+                    if k in ('h', 'w', 'out_h', 'out_w', 'hv', 'wv',
+                             'y0', 'x0'):
+                        ints[:, ci] = 4
+                    elif k in ('start_y', 'start_x'):
+                        ints[:, ci] = self.STACK_PAD
+                floats[:, 0] = 1.0                       # cos
                 for bi, i in enumerate(sel):
                     plan = plans[i]
                     if needs_blob:
                         blob[bi] = plan['blob']
-                    for k in ints:
-                        ints[k][bi] = plan[k]
-                    for k in floats:
-                        floats[k][bi] = plan[k]
-                iv = {k: jnp.asarray(v) for k, v in ints.items()}
-                fv = {k: jnp.asarray(v) for k, v in floats.items()}
+                    for ci, k in enumerate(PARAGRAPH_INT_FIELDS):
+                        ints[bi, ci] = plan[k]
+                    for ci, k in enumerate(PARAGRAPH_FLT_FIELDS):
+                        floats[bi, ci] = plan[k]
+                iv = jnp.asarray(ints)
+                fv = jnp.asarray(floats)
                 if rotated and needs_blob:
                     crops, packed = self._paragraph_stage(
-                        params, mono_dev, jnp.asarray(blob), iv['page'],
-                        iv['y0'], iv['x0'], iv['h'], iv['w'],
-                        fv['cos'], fv['sin'], fv['off_y'], fv['off_x'],
-                        iv['ry0'], iv['rx0'], iv['out_h'], iv['out_w'],
-                        iv['py'], iv['px'], iv['hv'], iv['wv'])
+                        params, mono_dev, jnp.asarray(blob), iv, fv)
                 elif rotated:
                     crops, packed = self._paragraph_stage_rot_res(
-                        params, mono_dev, para_dev, iv['page'],
-                        iv['y0'], iv['x0'], iv['h'], iv['w'],
-                        fv['cos'], fv['sin'], fv['off_y'], fv['off_x'],
-                        iv['ry0'], iv['rx0'], iv['out_h'], iv['out_w'],
-                        iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb)
+                        params, mono_dev, para_dev, iv, fv, hb, wb)
                 elif needs_blob:
                     crops, packed = self._paragraph_stage_fast(
-                        params, padded_mono, jnp.asarray(blob), iv['page'],
-                        iv['start_y'], iv['start_x'], iv['hv'], iv['wv'])
+                        params, padded_mono, jnp.asarray(blob), iv, fv)
                 else:
                     crops, packed = self._paragraph_stage_res(
-                        params, padded_mono, padded_para, iv['page'],
-                        iv['start_y'], iv['start_x'], iv['h'], iv['w'],
-                        iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb)
+                        params, padded_mono, padded_para, iv, fv, hb, wb)
                 for leaf in jax.tree_util.tree_leaves(packed):
                     leaf.copy_to_host_async()
                 launches.append((sel, crops, packed))
@@ -839,6 +857,7 @@ class OCRPipeline:
         """Launch the fused zoom-gather + Char programs for all lines of
         one paragraph-stage launch.  line_plans: [(slot, plan)].
         Returns [(plan_refs, ids_dev, valid_dev)]."""
+        from .device_cascade import LINE_FLT_FIELDS, LINE_INT_FIELDS
         groups = {}
         for ref, (slot, plan) in enumerate(line_plans):
             wc = self._menu_width(plan['w_valid'])
@@ -846,33 +865,24 @@ class OCRPipeline:
         B = self.DEVICE_BATCH
         params = self.char_model.params
         launches = []
-        keys_i = ('w_out', 'a_yy', 'a_yx', 'b_y', 'a_xy', 'a_xx', 'b_x',
-                  'w_valid')
         for wc, refs in groups.items():
             for start in range(0, len(refs), B):
                 sel = refs[start:start + B]
-                para_idx = np.zeros((B,), np.int32)
-                floats = {k: np.zeros((B,), np.float32)
-                          for k in ('ratio_y', 'ratio_x')}
-                ints = {k: np.zeros((B,), np.int32) for k in keys_i}
-                ints['w_valid'][:] = CHAR_FIXED_WIDTH
+                ints = np.zeros((B, len(LINE_INT_FIELDS)), np.int32)
+                floats = np.zeros((B, len(LINE_FLT_FIELDS)), np.float32)
+                ints[:, LINE_INT_FIELDS.index('w_valid')] = \
+                    CHAR_FIXED_WIDTH
                 for bi, ref in enumerate(sel):
                     slot, plan = line_plans[ref]
-                    para_idx[bi] = slot
-                    for k in floats:
-                        floats[k][bi] = plan[k]
-                    for k in ints:
-                        ints[k][bi] = plan[k]
-                ids = self._line_stage(
-                    params, crops_dev, jnp.asarray(para_idx),
-                    jnp.asarray(floats['ratio_y']),
-                    jnp.asarray(floats['ratio_x']),
-                    jnp.asarray(ints['w_out']),
-                    jnp.asarray(ints['a_yy']), jnp.asarray(ints['a_yx']),
-                    jnp.asarray(ints['b_y']), jnp.asarray(ints['a_xy']),
-                    jnp.asarray(ints['a_xx']), jnp.asarray(ints['b_x']),
-                    jnp.asarray(ints['w_valid']),
-                    CHAR_INPUT_HEIGHT, wc)
+                    ints[bi, 0] = slot                   # para_idx
+                    for ci, k in enumerate(LINE_INT_FIELDS[1:], start=1):
+                        ints[bi, ci] = plan[k]
+                    for ci, k in enumerate(LINE_FLT_FIELDS):
+                        floats[bi, ci] = plan[k]
+                ids = self._line_stage(params, crops_dev,
+                                       jnp.asarray(ints),
+                                       jnp.asarray(floats),
+                                       CHAR_INPUT_HEIGHT, wc)
                 launches.append((sel, ids))
         return launches
 

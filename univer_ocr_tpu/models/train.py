@@ -120,11 +120,19 @@ CURRICULUM = [
 
 def train_model(use_gpu=False, show_progress_bar=False,
                 save_train_progress=False, curriculum=None,
-                train_size=50, val_size=5):
+                train_size=50, val_size=5, batched=False, mesh=None,
+                batch=16):
     """Run the staged curriculum (reference train.py:67-289).
 
     `use_gpu` keeps the reference CLI surface: truthy selects the
     accelerator (TPU here), falsy pins host CPU.
+
+    `batched=True` routes the four single-model stages through the
+    batched/data-parallel trainer (models/dp_train.py): samples
+    materialized once, weighted fixed-shape batches, per-sample-exact
+    losses, optional `mesh` sharding over the 'data' axis.  TRAIN_ALL
+    (the joint adaptation stage) always runs the per-sample ModelSystem
+    path — its inputs are the evolving upstream predictions.
     """
     enable_persistent_cache()
     if use_gpu:
@@ -142,6 +150,16 @@ def train_model(use_gpu=False, show_progress_bar=False,
     train_progress_path = TRAIN_PROGRESS_PATH
 
     modes = CURRICULUM if curriculum is None else curriculum
+
+    if batched:
+        from .dp_train import _STAGE_MODEL, train_model_batched
+        fast = [stage for stage in modes if stage[0] in _STAGE_MODEL]
+        if fast:
+            train_model_batched(fast, use_gpu=use_gpu, batch=batch,
+                                mesh=mesh, train_size=train_size,
+                                val_size=val_size, log=message,
+                                checkpoint_path=model_weights_file)
+        modes = [stage for stage in modes if stage[0] not in _STAGE_MODEL]
 
     for mode, lr, lr_step, epochs in modes:
         print(f'Training mode: {mode.name}')
