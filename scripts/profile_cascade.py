@@ -6,6 +6,13 @@ loop actually spends its time (dispatch vs sync-pull vs host geometry)
 plus device-launch counts.  Usage:
 
     python scripts/profile_cascade.py [n_pages] [--host-cascade] [--f32]
+        [--replay]
+
+--replay re-executes the recorded chunk-run's device program sequence
+with all inputs pre-staged in HBM and no D2H pulls: the compute-bound
+pages/s a co-located (non-tunneled) deployment would see from the same
+program stream.  It substantiates the "the tunnel, not the TPU, is the
+limit" claim with a measured number instead of an extrapolation.
 """
 
 import json
@@ -56,12 +63,17 @@ def main(n_pages=32):
     pipeline.warmup()
     pipeline.ocr_pages(pages[:2])
 
-    # count device launches by wrapping the jitted callables
+    # count device launches by wrapping the jitted callables; --replay
+    # additionally records (fn, args) of every launch for the
+    # device-only re-execution pass
     counts = {}
+    record = [] if '--replay' in sys.argv else None
 
     def counted(name, fn):
         def wrapper(*a, **k):
             counts[name] = counts.get(name, 0) + 1
+            if record is not None:
+                record.append((fn, a, k))
             return fn(*a, **k)
         return wrapper
 
@@ -122,6 +134,30 @@ def main(n_pages=32):
         print(f'  wire[ALL D2H]: {tot / 1e6:.2f}MB, busy {union:.2f}s '
               f'({tot / union / 1e6:.1f}MB/s), idle '
               f'{elapsed - union:.2f}s of the timed run')
+
+    if record:
+        import jax
+        import jax.numpy as jnp
+
+        def stage(x):
+            if isinstance(x, (np.ndarray, np.generic)):
+                return jax.device_put(jnp.asarray(x))
+            return x
+
+        staged = [(fn, tuple(stage(x) for x in a),
+                   {kk: stage(v) for kk, v in k.items()})
+                  for fn, a, k in record]
+        outs = [fn(*a, **k) for fn, a, k in staged]
+        jax.block_until_ready(outs)  # warm + on-device arg caches
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            outs = [fn(*a, **k) for fn, a, k in staged]
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        print(f'  device-only replay: {len(staged)} launches x {reps} reps '
+              f'in {dt:.3f}s -> {n_pages * reps / dt:.1f} pages/s '
+              f'(compute-bound, no D2H/host geometry)')
 
 
 if __name__ == '__main__':

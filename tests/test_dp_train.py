@@ -158,6 +158,7 @@ def test_make_batches_shapes_and_weights():
     batches = make_batches(samples, Modes.TRAIN_LINE, batch=4)
     assert len(batches) == 2
     for X, y, hv, wv, weight in batches:
-        assert X.shape == (4, 128, 128, 1)
+        # 40x100 fits the smallest serving-menu entry (128, 256)
+        assert X.shape == (4, 128, 256, 1)
         assert ((hv == 40) & (wv == 100)).all()
     assert batches[0][4].sum() + batches[1][4].sum() == 5

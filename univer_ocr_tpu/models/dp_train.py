@@ -43,14 +43,12 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        label_layer, plan_paragraph_lines)
 from ..nn.checkpoint import save_weights
 from ..ops.losses import segmentation_dice_2d
-from .bucketing import round_up
+from .bucketing import line_shape_menu, pick_char_width, pick_line_shape
 from .fastpath import char_forward_masked, line_forward_masked, _mask_hw
 from .fastpath import monochrome_forward
 from .model import (CHAR_FIXED_WIDTH, CHAR_INPUT_HEIGHT, Modes, make_char,
                     make_line, make_monochrome, make_paragraph)
 
-#: crop shapes round up to multiples of this (Line/Char stages)
-SHAPE_BUCKET = 128
 
 
 # ---------------------------------------------------------------------------
@@ -237,25 +235,31 @@ def _wrap_steps(local_train, local_eval, mesh, donate, n_batch_args):
 # ---------------------------------------------------------------------------
 
 
-def _bucket_shape(sample_x, mode):
+def _bucket_shape(sample_x, mode, menu):
     if mode is Modes.TRAIN_CHAR:
-        return (CHAR_INPUT_HEIGHT, round_up(sample_x.shape[2], SHAPE_BUCKET))
+        return (CHAR_INPUT_HEIGHT, pick_char_width(sample_x.shape[2]))
     if mode is Modes.TRAIN_MONOCHROME or mode is Modes.TRAIN_PARAGRAPH:
         return sample_x.shape[1], sample_x.shape[2]
-    return (round_up(sample_x.shape[1], SHAPE_BUCKET),
-            round_up(sample_x.shape[2], SHAPE_BUCKET))
+    return pick_line_shape(menu, sample_x.shape[1], sample_x.shape[2])
 
 
-def make_batches(samples, mode, batch, rng=None):
+def make_batches(samples, mode, batch, rng=None,
+                 input_shape=(1, 496, 736, 1)):
     """Group samples by bucket shape and emit fixed-size weighted
     batches: (X, y, hv, wv, weight) arrays, filler slots repeating the
-    first sample with weight 0 (no extra compiled programs for tails)."""
+    first sample with weight 0 (no extra compiled programs for tails).
+
+    Crop shapes pad into the same canonical menu the serving pipeline
+    uses (bucketing.line_shape_menu / CHAR_WIDTH_MENU): a remote compile
+    costs minutes, so the program count per stage is capped at the menu
+    size rather than growing with the shape population."""
+    menu = line_shape_menu(input_shape)
     order = np.arange(len(samples))
     if rng is not None:
         rng.shuffle(order)
     buckets = {}
     for i in order:
-        buckets.setdefault(_bucket_shape(samples[i][0], mode),
+        buckets.setdefault(_bucket_shape(samples[i][0], mode, menu),
                            []).append(i)
 
     out = []
@@ -332,7 +336,8 @@ def train_stage_batched(mode, train_samples, val_samples, weights,
         train_step, eval_step = make_batched_seg_step(model, name, mesh)
 
     rng = np.random.RandomState(seed)
-    val_batches = make_batches(val_samples, mode, batch)
+    val_batches = make_batches(val_samples, mode, batch,
+                               input_shape=input_shape)
 
     def validate(params):
         total = 0.0
@@ -356,7 +361,8 @@ def train_stage_batched(mode, train_samples, val_samples, weights,
     while epoch < epochs:
         t0 = time.time()
         train_loss = 0.0
-        for args in make_batches(train_samples, mode, batch, rng):
+        for args in make_batches(train_samples, mode, batch, rng,
+                                 input_shape=input_shape):
             params, opt_state, per = train_step(
                 params, opt_state, jnp.float32(lr), *(jnp.asarray(a)
                                                       for a in args))

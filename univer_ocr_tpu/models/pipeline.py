@@ -35,7 +35,8 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        find_rotation_angle, label_layer,
                                        pred_ids_to_text, rearrange_lines,
                                        rotate_array)
-from .bucketing import round_up
+from .bucketing import (CHAR_WIDTH_MENU, line_shape_menu, pick_char_width,
+                        pick_line_shape, round_up)
 from .device_cascade import (paragraph_stage, paragraph_stage_fast,
                              paragraph_stage_resident,
                              paragraph_stage_rot_resident,
@@ -87,9 +88,9 @@ def crop_lines_of_paragraph(line_pred, mono_crop, zoomed_height,
 
 
 class OCRPipeline:
-    #: Char-stage width menu: every line pads to the next entry, so the
-    #: whole run compiles at most len(menu) char programs.
-    CHAR_WIDTH_MENU = (256, 512, 1024, 2048)
+    #: Char-stage width menu (shared with batched training so both hit
+    #: the same compiled programs — bucketing.CHAR_WIDTH_MENU).
+    CHAR_WIDTH_MENU = CHAR_WIDTH_MENU
     #: Fixed device batch for Line/Char launches (pow2 padding per launch
     #: would multiply the compile menu by the number of batch sizes).
     DEVICE_BATCH = 16
@@ -135,11 +136,7 @@ class OCRPipeline:
         # count is the scarce resource (a remote compile is minutes), but
         # most paragraphs are far smaller than a page, so a 3-entry menu
         # buys back most of the padded transfer/compute
-        max_shape = (round_up(page_shape[1] + 16, 128),
-                     round_up(page_shape[2] + 16, 128))
-        self.line_shape_menu = [
-            (128, 256), (256, 512), max_shape,
-        ]
+        self.line_shape_menu = line_shape_menu(page_shape)
 
         mono = make_monochrome(page_shape)
         para = make_paragraph(page_shape)
@@ -461,10 +458,7 @@ class OCRPipeline:
         return crops
 
     def _line_menu_shape(self, h, w):
-        for hb, wb in self.line_shape_menu:
-            if h <= hb and w <= wb:
-                return hb, wb
-        return self.line_shape_menu[-1]
+        return pick_line_shape(self.line_shape_menu, h, w)
 
     def _run_line_batched(self, crops):
         """All paragraph crops (flat list) -> line predictions (exact
@@ -515,10 +509,7 @@ class OCRPipeline:
         return preds
 
     def _menu_width(self, w):
-        for wb in self.CHAR_WIDTH_MENU:
-            if w <= wb:
-                return wb
-        return round_up(w, self.CHAR_WIDTH_MENU[-1])
+        return pick_char_width(w)
 
     def _run_char_batched(self, lines):
         """All line crops (flat list) -> per-line argmax ids; widths pad
