@@ -33,27 +33,29 @@ def main(n_pages=8):
 
     weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
     pipe = OCRPipeline(pages[0].shape, weights=weights, chunk=8, workers=8,
-                       device_cascade=True, precision='bf16')
+                       device_cascade=True, exact_bands=True,
+                       precision='bf16')
     batch = np.concatenate([(p * 255).astype(np.uint8) for p in pages])
     mono_dev, para_bits_dev = pipe._front_resident(pipe.front_params,
                                                    jnp.asarray(batch))
     state = pipe._dispatch_chunk_device(n_pages, mono_dev,
                                         np.asarray(para_bits_dev))
 
-    # re-dispatch to grab raw packed planes
-    padded_dev = pipe._pad_stack(mono_dev)
-    para = np.unpackbits(np.asarray(para_bits_dev), axis=2)
+    # re-dispatch to grab raw packed planes (exact-mode stage payload)
+    para_bits = np.asarray(para_bits_dev)
+    para_dev = pipe._prep_stacks(jnp.asarray(para_bits))
+    para = np.unpackbits(para_bits, axis=2)
     para = para[:, :, :pipe.page_shape[2], 0]
     plans = [p for page in range(n_pages)
              for p in pipe._page_paragraph_plans(page, para[page])]
-    launches = pipe._dispatch_paragraph_stage(mono_dev, padded_dev, plans)
+    launches = pipe._dispatch_paragraph_stage((mono_dev, para_dev), plans)
 
     viol_rows = 0
     nonempty_rows = 0
     slots = 0
     slot_viol_counts = []
     runs_hist = {}
-    for sel, crops_dev, packed_dev, summary_dev in launches:
+    for sel, crops_dev, packed_dev, _masks in launches:
         packed = np.asarray(packed_dev)
         bands = np.unpackbits(packed, axis=2)
         for bi in range(len(sel)):

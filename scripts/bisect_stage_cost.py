@@ -51,11 +51,6 @@ def main():
     pidx = jnp.zeros((B,), jnp.int32)
     sy = jnp.full((B,), 16, jnp.int32)
 
-    # 1. level crops (dynamic slices)
-    f = jax.jit(dc.level_paragraph_crops)
-    print(f'level_paragraph_crops: '
-          f'{timeit(f, padded, blob_bits, pidx, sy, sy) * 1e3:.2f}ms')
-
     # 2. line forward alone (bf16)
     f = jax.jit(partial(line_forward_masked, prefix='Line',
                         precision='bf16'))

@@ -56,6 +56,7 @@ def main(n_pages=8, collapse=True, seed=123):
     results = pipe.ocr_pages(pages)
 
     ratios = []
+    matched = []
     exact = 0
     total_lines = 0
     for truth, result in zip(truths, results):
@@ -63,19 +64,52 @@ def main(n_pages=8, collapse=True, seed=123):
         pred_lines = [line for para in result for line in para]
         true_text = '\n'.join(true_lines)
         pred_text = '\n'.join(pred_lines)
+        # concat similarity understates when detected paragraph ORDER
+        # differs from the generator's insertion order (both are valid
+        # serializations of the same 2D page); matched-line similarity
+        # scores content order-independently
         ratio = SequenceMatcher(None, true_text, pred_text).ratio()
         ratios.append(ratio)
+        m = line_matched_similarity(true_lines, pred_lines)
+        matched.append(m)
         total_lines += len(true_lines)
         pred_set = set(pred_lines)
         exact += sum(1 for line in true_lines if line in pred_set)
         print(f'page: {len(true_lines)} true lines, '
-              f'{len(pred_lines)} predicted, similarity {ratio:.3f}')
+              f'{len(pred_lines)} predicted, similarity {ratio:.3f}, '
+              f'matched {m:.3f}')
         if true_lines and pred_lines:
             print(f'  true[0]: {true_lines[0][:60]!r}')
             print(f'  pred[0]: {pred_lines[0][:60]!r}')
 
-    print(f'\nmean char similarity: {np.mean(ratios):.4f}')
+    print(f'\nmean char similarity (concat): {np.mean(ratios):.4f}')
+    print(f'mean char similarity (matched lines): {np.mean(matched):.4f}')
     print(f'exact line rate: {exact}/{total_lines}')
+
+
+def line_matched_similarity(true_lines, pred_lines):
+    """Order-independent page score: greedily match each true line to
+    its most-similar unused predicted line; char-weighted mean of the
+    match ratios, with unmatched predicted chars diluting the
+    denominator (hallucinated or duplicated lines cost score)."""
+    true_lines = [t.strip() for t in true_lines]
+    pred = [p.strip() for p in pred_lines]
+    pairs = sorted(
+        ((SequenceMatcher(None, t, p).ratio(), ti, pi)
+         for ti, t in enumerate(true_lines)
+         for pi, p in enumerate(pred)),
+        key=lambda x: -x[0])
+    used_t, used_p = set(), set()
+    num = 0.0
+    for r, ti, pi in pairs:
+        if ti in used_t or pi in used_p:
+            continue
+        used_t.add(ti)
+        used_p.add(pi)
+        num += r * len(true_lines[ti])
+    den = (sum(len(t) for t in true_lines)
+           + sum(len(p) for i, p in enumerate(pred) if i not in used_p))
+    return num / max(den, 1)
 
 
 def main_gt_crops(n_pages=8, collapse=True, seed=123):

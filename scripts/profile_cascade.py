@@ -78,7 +78,7 @@ def main(n_pages=32):
         return wrapper
 
     for name in ('_front_resident', '_front', '_paragraph_stage',
-                 '_paragraph_stage_fast', '_line_stage', '_line_masks_fn',
+                 '_line_stage', '_line_masks_fn',
                  '_char_fn'):
         setattr(pipeline, name, counted(name, getattr(pipeline, name)))
 

@@ -46,9 +46,10 @@ def test_device_tables_match_host_reference():
     bands[1, :, :, 1] = False
     bands[2] |= rs.rand(*bands.shape[1:]) > 0.999
 
-    dev_tbl, dev_nb = jax.jit(band_blob_tables)(bands)
-    host_tbl, host_nb = band_blob_tables_host(bands)
+    dev_tbl, dev_nb, dev_sh = jax.jit(band_blob_tables)(bands)
+    host_tbl, host_nb, host_sh = band_blob_tables_host(bands)
 
+    np.testing.assert_array_equal(np.asarray(dev_sh), host_sh)
     np.testing.assert_array_equal(np.asarray(dev_nb), host_nb)
     dev_tbl = np.asarray(dev_tbl)
     # integer fields exact; centers to float tolerance
@@ -67,7 +68,7 @@ def test_tables_planner_matches_exact_planner_on_clean_bands():
                        device_cascade=True)
     for _ in range(5):
         bands = _random_bands(rs, B=1, frag=False)[0]
-        tbl, nb = band_blob_tables_host(bands[None])
+        tbl, nb, _ = band_blob_tables_host(bands[None])
         plans_t = pipe._plan_lines_from_tables(tbl[0], nb[0])
         plans_e = pipe._plan_lines(bands)
         assert len(plans_t) == len(plans_e)
@@ -77,19 +78,27 @@ def test_tables_planner_matches_exact_planner_on_clean_bands():
 
 def test_tables_merge_fragmented_bands():
     """Same-row fragments (horizontal splits at word gaps) must group
-    into ONE line where the exact CCL path splits them — the band
-    fragmentation that dominated round-2 end-to-end errors."""
-    bands = np.zeros((1, 32, 64, 2), bool)
-    bands[0, 4:7, 2:20, 0] = True        # top band, split in the middle
-    bands[0, 4:7, 30:60, 0] = True
-    bands[0, 10:13, 2:60, 1] = True      # bottom band, whole
+    into ONE line in BOTH planners — the band fragmentation that
+    dominated round-2 end-to-end errors.  The tables path merges via
+    the 1D run closing; the exact CCL path (raw CCL sees two top blobs)
+    via _merge_line_bboxes."""
+    # realistic proportions: band height ~0.6em, word gap ~0.4em < height
+    bands = np.zeros((1, 48, 64, 2), bool)
+    bands[0, 4:16, 2:30, 0] = True       # top band, split at a word gap
+    bands[0, 4:16, 38:60, 0] = True
+    bands[0, 20:32, 2:60, 1] = True      # bottom band, whole
     pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
                        device_cascade=True)
-    tbl, nb = band_blob_tables_host(bands)
+    tbl, nb, _ = band_blob_tables_host(bands)
     plans_t = pipe._plan_lines_from_tables(tbl[0], nb[0])
     plans_e = pipe._plan_lines(bands[0])
-    assert len(plans_e) == 2             # CCL sees two top blobs
+    assert len(plans_e) == 2             # CCL parity path: two top blobs
     assert len(plans_t) == 1             # run grouping sees one line
+    # the escalation path regroups fragments instead of over-splitting
+    assert len(pipe._plan_lines(bands[0], merge_fragments=True)) == 1
+    # ...and the fragment pattern must NOT trigger escalation at all:
+    # its cross-axis gap is below the line-height threshold
+    assert not pipe._cross_axis_escalation(tbl[0], nb[0], 0)
 
 
 def test_tables_close_small_vertical_gaps():
@@ -101,9 +110,9 @@ def test_tables_close_small_vertical_gaps():
     bands[0, 20:23, 2:60, 0] = True      # real second line (11-row gap)
     bands[0, 12:15, 2:60, 1] = True
     bands[0, 28:31, 2:60, 1] = True
-    tbl, nb = band_blob_tables_host(bands)
+    tbl, nb, _ = band_blob_tables_host(bands)
     assert nb[0, 0, 0] == 2              # rows axis, top channel
-    tbl_d, nb_d = jax.jit(band_blob_tables)(bands)
+    tbl_d, nb_d, _ = jax.jit(band_blob_tables)(bands)
     np.testing.assert_array_equal(np.asarray(nb_d), nb)
 
 
@@ -118,7 +127,7 @@ def test_tables_vertical_text_uses_column_axis():
     bands[0, 2:60, 24:27, 1] = True
     pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
                        device_cascade=True)
-    tbl, nb = band_blob_tables_host(bands)
+    tbl, nb, _ = band_blob_tables_host(bands)
     assert nb[0, 1, 0] == 2 and nb[0, 0, 0] == 1
     plans_t = pipe._plan_lines_from_tables(tbl[0], nb[0])
     plans_e = pipe._plan_lines(bands[0])
@@ -181,3 +190,112 @@ def test_device_cascade_tables_mode_end_to_end():
         sim_t += SequenceMatcher(None, truth, text_t).ratio()
     # the merge may only help
     assert sim_t >= sim_e - 0.02, (sim_t, sim_e)
+
+
+def _tilted_bands(slope, n_lines=6, H=96, W=256, band_h=3, pitch=14):
+    """Line-band stripe pairs with a residual tilt: each band's row at
+    column x is y0 + round(slope * x) — adjacent stripes' row ranges
+    overlap once slope * W exceeds the gap, which chains every line into
+    one row-run without shear correction."""
+    bands = np.zeros((1, H, W, 2), bool)
+    for i in range(n_lines):
+        y_top = 8 + i * pitch
+        for x in range(8, W - 8):
+            dy = int(round(slope * (x - (W - 1) / 2.0)))
+            bands[0, y_top + dy:y_top + dy + band_h, x, 0] = True
+            yb = y_top + band_h + 2
+            bands[0, yb + dy:yb + dy + band_h, x, 1] = True
+    return bands
+
+
+def test_shear_recovers_tilted_lines():
+    """Residual tilt chains all bands into one row-run (the round-2
+    accuracy killer: a deskewed 7-line paragraph planned as 1 line); the
+    on-device shear sweep must recover the true line count, and the
+    device kernel must match the NumPy mirror bit-for-bit."""
+    bands = _tilted_bands(slope=0.04)
+    # without shear the run decomposition sees ONE merged blob
+    occ = bands.any(axis=(2, 3))[0]
+    assert (np.diff(np.where(occ)[0]) == 1).all()
+
+    host_tbl, host_nb, host_sh = band_blob_tables_host(bands)
+    assert host_nb[0, 0, 0] == 6 and host_nb[0, 0, 1] == 6
+    assert abs(host_sh[0, 0] - 0.04) < 0.013   # within one grid step
+
+    dev_tbl, dev_nb, dev_sh = jax.jit(band_blob_tables)(bands)
+    np.testing.assert_array_equal(np.asarray(dev_sh), host_sh)
+    np.testing.assert_array_equal(np.asarray(dev_nb), host_nb)
+    np.testing.assert_array_equal(np.asarray(dev_tbl)[:, :, :, :5, :],
+                                  host_tbl[:, :, :, :5, :])
+    np.testing.assert_allclose(np.asarray(dev_tbl)[:, :, :, 5:, :],
+                               host_tbl[:, :, :, 5:, :], rtol=0, atol=1e-4)
+
+
+def test_shear_margin_keeps_upshifted_content_in_frame():
+    """margin=True (rotated crops): tilted content starting at row 0
+    must not shear off the top — every band pixel stays inside the
+    window and the blob count is exact."""
+    bands = _tilted_bands(slope=-0.04, n_lines=3, H=64, pitch=14)
+    # content starts at the very top of the crop
+    bands = np.roll(bands, -6, axis=1)
+    bands[:, -12:] = False
+    total = int(bands.sum())
+    tbl, nb, _ = band_blob_tables_host(bands, margin=True)
+    assert nb[0, 0, 0] == 3
+    # all pixels accounted for in the row-axis tables (nothing clipped)
+    assert int(tbl[0, 0, :, 0, :].sum()) == total
+
+
+def test_plan_lines_from_tables_uses_device_axis():
+    """The axis argument (device choose_stacking_axis) must override the
+    host recomputation and produce identical plans."""
+    from univer_ocr_tpu.models.device_cascade import (
+        choose_stacking_axis_host)
+    rs = np.random.RandomState(7)
+    bands = _random_bands(rs, B=1, frag=True)
+    tbl, nb, _ = band_blob_tables_host(bands)
+    axis = int(choose_stacking_axis_host(tbl, nb)[0])
+    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
+                       device_cascade=True)
+    assert (pipe._plan_lines_from_tables(tbl[0], nb[0], axis)
+            == pipe._plan_lines_from_tables(tbl[0], nb[0]))
+
+
+def test_merge_suspect_flags_wavy_merges():
+    """merge_suspect: tilted (un-sheared) bands whose runs chain must be
+    flagged; the same bands after shear correction must not; and the
+    device kernel must match the NumPy mirror."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.device_cascade import (
+        merge_suspect, merge_suspect_host, _best_shear_host,
+        _shear_rows_host)
+    bands = _tilted_bands(slope=0.04)
+    assert merge_suspect_host(bands)[0]
+    s = _best_shear_host(bands[0])
+    sheared = _shear_rows_host(bands[0], s, 0)[None]
+    assert not merge_suspect_host(sheared)[0]
+
+    rs = np.random.RandomState(3)
+    rnd = _random_bands(rs, B=3, frag=True)
+    for arr in (bands, sheared, rnd):
+        dev = np.asarray(jax.jit(merge_suspect)(jnp.asarray(arr)))
+        np.testing.assert_array_equal(dev, merge_suspect_host(arr))
+
+
+def test_merge_line_bboxes_shared_bottom_only():
+    """The escalation planner's fragment merge: tops that paired with
+    the SAME bottom component union (fragmented top band over one solid
+    bottom = one line by construction); everything else — side-by-side
+    lines, stacked lines, fragments with distinct bottoms — stays
+    separate (geometric gap rules are ambiguous against neighbouring
+    merged single-line paragraphs; see _merge_line_bboxes)."""
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    merge = OCRPipeline._merge_line_bboxes
+    s = slice
+    frags = [(s(10, 30), s(5, 60)), (s(10, 30), s(70, 120))]
+    # fragments that paired with the SAME bottom regroup
+    assert merge(frags, [0, 0], None) == [(s(10, 30), s(5, 120))]
+    # distinct bottoms: no geometric merging, whatever the gap
+    assert merge(frags, [0, 1], None) == frags
+    stacked = [(s(10, 30), s(5, 60)), (s(40, 60), s(5, 60))]
+    assert merge(stacked, [0, 1], None) == stacked

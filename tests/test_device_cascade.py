@@ -163,10 +163,11 @@ def test_zoomed_line_crops_matmul_matches_gather(rotation):
     np.testing.assert_allclose(matmul, gather, rtol=0, atol=1e-6)
 
 
-def test_level_paragraph_crops_match_gather():
-    """The dynamic-slice crop (level paragraphs) must equal the bilinear
-    gather at the identity affine, including the center-pad placement."""
-    from univer_ocr_tpu.models.device_cascade import level_paragraph_crops
+def test_identity_affine_gather_is_exact_crop():
+    """Level paragraphs ride the affine-gather program with the identity
+    affine (pipeline._page_paragraph_plans); integer sample coordinates
+    make the bilinear weights exact, so the result must be BIT-EQUAL to
+    the plain masked bbox crop at the make_divisible_by placement."""
     rs = np.random.RandomState(9)
     pages = rs.rand(2, 64, 96, 1).astype(np.float32)
     blob = np.zeros((64, 96), bool)
@@ -175,10 +176,10 @@ def test_level_paragraph_crops_match_gather():
     py, px = 3, 5
     hb, wb = 48, 96
 
-    # gather path: blob at (0, 0) bbox-local
+    # gather path: blob at (0, 0) bbox-local, identity affine
     blob_gather = np.zeros((hb, wb), bool)
     blob_gather[:h, :w] = blob[y0:y0 + h, x0:x0 + w]
-    ref = np.asarray(rotated_paragraph_crops(
+    got = np.asarray(rotated_paragraph_crops(
         jnp.asarray(pages), jnp.asarray(np.packbits(blob_gather, axis=1))[None],
         jnp.asarray([1], jnp.int32),
         jnp.asarray([y0], jnp.int32), jnp.asarray([x0], jnp.int32),
@@ -189,15 +190,9 @@ def test_level_paragraph_crops_match_gather():
         jnp.asarray([h], jnp.int32), jnp.asarray([w], jnp.int32),
         jnp.asarray([py], jnp.int32), jnp.asarray([px], jnp.int32)))
 
-    # slice path: padded stack + blob pre-aligned at (py, px)
-    pad = 16
-    padded = np.pad(pages, ((0, 0), (pad, hb), (pad, wb), (0, 0)))
-    blob_fast = np.zeros((hb, wb), bool)
-    blob_fast[py:py + h, px:px + w] = blob[y0:y0 + h, x0:x0 + w]
-    got = np.asarray(level_paragraph_crops(
-        jnp.asarray(padded), jnp.asarray(np.packbits(blob_fast, axis=1))[None],
-        jnp.asarray([1], jnp.int32),
-        jnp.asarray([y0 - py + pad], jnp.int32),
-        jnp.asarray([x0 - px + pad], jnp.int32)))
+    # exact NumPy reference: masked bbox crop placed at (py, px)
+    ref = np.zeros((1, hb, wb, 1), np.float32)
+    region = pages[1, y0:y0 + h, x0:x0 + w, 0]
+    ref[0, py:py + h, px:px + w, 0] = region * blob[y0:y0 + h, x0:x0 + w]
 
     np.testing.assert_array_equal(got, ref)

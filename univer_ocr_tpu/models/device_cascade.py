@@ -288,22 +288,62 @@ def _thresholded_bands(params, crops, h_valid, w_valid, precision=None):
 
 def _band_masks(params, crops, h_valid, w_valid, precision=None,
                 tables=False):
-    """Band geometry payload of the paragraph stage.
+    """Band geometry payload of the paragraph stage (exact mode).
 
-    tables=False: the (B, H, W/8, 2) uint8 bit-packed masks — the exact
-    payload the host CCL path consumes.  (A compact per-row run encoding
-    was evaluated and rejected: 56% of nonempty band rows carry 2-15 runs
+    The (B, H, W/8, 2) uint8 bit-packed masks — the exact payload the
+    host CCL path consumes.  (A compact per-row run encoding was
+    evaluated and rejected: 56% of nonempty band rows carry 2-15 runs
     — word gaps — so the 1-bit planes are already the minimal exact
-    payload; scripts/band_stats.py.)
-
-    tables=True: per-blob summary tables (band_blob_tables) — ~20-100x
-    fewer D2H bytes AND no host CCL/argwhere work; the serving default.
-    """
+    payload; scripts/band_stats.py.)"""
+    assert not tables, 'tables mode goes through _finish_paragraph_stage'
     bands = _thresholded_bands(params, crops, h_valid, w_valid,
                                precision=precision)
-    if tables:
-        return band_blob_tables(bands)
     return jnp.packbits(bands.astype(jnp.uint8), axis=2)
+
+
+def _finish_paragraph_stage(params, crops, h_valid, w_valid,
+                            precision=None, tables=False, margin=False):
+    """Shared tail of every paragraph-stage program: Line forward + band
+    thresholding, then either the exact bit-packed masks (tables=False)
+    or the sheared per-blob tables (tables=True) — ~20-100x fewer D2H
+    bytes AND no host CCL/argwhere work; the serving default.
+
+    In tables mode the returned crops are sheared by the chosen stacking
+    axis's residual tilt, so the line bboxes (measured in sheared
+    coordinates) index them directly and the Char stage reads de-tilted
+    glyphs.  Payload: (tables, n_blobs, shears, axis, suspect, packed) —
+    `suspect` (B,) bool flags paragraphs whose run decomposition
+    provably merged lines (merge_suspect); `packed` are the identically-
+    sheared bit-packed band masks, kept DEVICE-RESIDENT by the caller
+    and pulled only for suspect paragraphs (exact-CCL escalation)."""
+    bands = _thresholded_bands(params, crops, h_valid, w_valid,
+                               precision=precision)
+    if not tables:
+        return crops, jnp.packbits(bands.astype(jnp.uint8), axis=2)
+    tbl, n_blobs, shears = band_blob_tables(bands, margin=margin)
+    axis = choose_stacking_axis(tbl, n_blobs)
+    B = crops.shape[0]
+    s_row = jnp.where(axis == 0, shears[:, 0], 0.0)
+    s_col = jnp.where(axis == 1, shears[:, 1], 0.0)
+
+    def off(s, extent):
+        S = _shear_span(extent)
+        return (jnp.where(s != 0.0, S, 0) if margin
+                else jnp.zeros((B,), jnp.int32)).astype(jnp.int32)
+
+    def shear_both(arr):
+        arr = _shear_rows(arr, s_row, off(s_row, arr.shape[2]))
+        arr_t = jnp.transpose(arr, (0, 2, 1, 3))
+        arr_t = _shear_rows(arr_t, s_col, off(s_col, arr_t.shape[2]))
+        return jnp.transpose(arr_t, (0, 2, 1, 3))
+
+    crops = shear_both(crops)
+    bands_sh = shear_both(bands)
+    suspect = jnp.where(
+        axis == 0, merge_suspect(bands_sh),
+        merge_suspect(jnp.transpose(bands_sh, (0, 2, 1, 3))))
+    packed = jnp.packbits(bands_sh.astype(jnp.uint8), axis=2)
+    return crops, (tbl, n_blobs, shears, axis, suspect, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +380,219 @@ def _band_masks(params, crops, h_valid, w_valid, precision=None,
 MAX_BAND_BLOBS = 48
 #: 1D closing radius on the occupancy vector: fills <= 2-row gaps
 CLOSE_RADIUS = 1
+
+# ---------------------------------------------------------------------------
+# Residual-tilt (shear) correction
+#
+# The run decomposition assumes distinct lines' bands occupy disjoint row
+# ranges.  Deskew leaves rotated paragraphs with ~1-3 degrees of residual
+# tilt (the angle comes from the paragraph blob's outline, not the text
+# baselines), and over a 500-700px crop that skews each band across
+# 10-30 rows — enough to chain every line of the paragraph into ONE
+# row-run while 2D CCL still separates them (measured: a 7-line rotated
+# paragraph collapsed to 1 blob; eval pages 0/1/5).
+#
+# The fix is the classic projection-profile deskew done ON DEVICE: sweep
+# K candidate slopes, score each by the number of occupied sheared rows
+# (fewer = better separated), shear the band masks by the winner, and run
+# the unchanged run decomposition on the sheared masks.  The paragraph
+# crop itself is sheared identically (per the chosen stacking axis), so
+# line bboxes measured in sheared coordinates index the returned crop
+# stack directly and the separable line-crop matmul gather needs no
+# changes — and the Char model sees de-tilted glyphs.
+#
+# All shears are integer per-column row shifts implemented as a static
+# enumeration of shifted slices (no arbitrary-index gathers, which are
+# slow on TPU); round-half-to-even everywhere so the NumPy mirror
+# (band_blob_tables_host) is bit-identical.
+# ---------------------------------------------------------------------------
+
+#: candidate slope grid (odd count so 0.0 is exactly representable)
+SHEAR_CANDIDATES = 27
+#: max |slope| swept: 0.08 = 4.6 degrees of residual tilt (measured
+#: need: a deskewed 7-line paragraph at slope 0.07, eval page 5)
+MAX_SHEAR = 0.08
+#: column groups for the candidate-scoring profile
+SHEAR_GROUPS = 64
+
+
+def _shear_span(extent):
+    """Max |integer row shift| a MAX_SHEAR tilt produces over `extent`
+    columns (shear is measured from the center column)."""
+    import math
+    return int(math.ceil(MAX_SHEAR * (extent - 1) / 2.0)) + 1
+
+
+def _shear_candidates():
+    return np.linspace(-MAX_SHEAR, MAX_SHEAR, SHEAR_CANDIDATES)
+
+
+def _group_centers(W):
+    """Column-group partition used by the scoring profile: G groups of
+    ceil(W/G) columns; returns (G, group_width, center offsets)."""
+    G = SHEAR_GROUPS
+    gw = -(-W // G)
+    centers = (np.arange(G) * gw + (gw - 1) / 2.0) - (W - 1) / 2.0
+    return G, gw, centers
+
+
+def _best_shear(bands):
+    """Per-paragraph residual tilt of (B, L, W, C) boolean band masks:
+    the slope s minimizing the number of occupied sheared rows
+    r = y - round(s * (x - (W-1)/2)).  Returns (B,) f32 from the
+    candidate grid (exactly 0.0 for well-leveled content: equal scores
+    tie-break toward |s| = 0)."""
+    B, L, W, C = bands.shape
+    S = _shear_span(W)
+    m = jnp.any(bands, axis=3)                              # (B, L, W)
+    G, gw, centers = _group_centers(W)
+    Wp = G * gw
+    if Wp != W:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Wp - W)))
+    prof = m.reshape(B, L, G, gw).any(axis=3)               # (B, L, G)
+
+    slopes = _shear_candidates()
+    shifts = jnp.asarray(
+        np.clip(np.round(slopes[:, None] * centers[None, :]), -S, S)
+        .astype(np.int32))                                  # (K, G)
+    # score over the FULL sheared range [-S, L+S) so content shifted
+    # past the window edge still counts as occupied
+    R = L + 2 * S
+    profp = jnp.pad(prof, ((0, 0), (2 * S, 2 * S), (0, 0)))
+    # occ[b, k, r, g] = profp[b, r + shifts[k, g] + S, g]: one gather
+    # instead of a 2S+1-way unrolled select (compile-time matters — this
+    # is inside every paragraph-stage program in the serving menu)
+    idx = (jnp.arange(R, dtype=jnp.int32)[None, :, None]
+           + shifts[:, None, :] + S)                        # (K, R, G)
+    occ = jnp.take_along_axis(profp[:, None], idx[None], axis=2)
+    score = jnp.sum(jnp.any(occ, axis=3), axis=2).astype(jnp.float32)
+    score = score + jnp.asarray(
+        1e-3 * np.abs(slopes) / MAX_SHEAR, jnp.float32)[None, :]
+    return jnp.asarray(slopes, jnp.float32)[jnp.argmin(score, axis=1)]
+
+
+def _shear_rows(arr, s, off):
+    """Integer row shear: out[b, r, x, c] = arr[b, r - t, x, c] with
+    t = off_b - round(s_b * (x - (W-1)/2)); out-of-range reads are zero.
+
+    `off` (B,) int32 in [0, _shear_span(W)] shifts content DOWN so rows
+    sheared upward stay in frame (rotated crops put content at row 0);
+    the caller adds the same margin when sizing the crop bucket.
+    Works on boolean band masks and f32 crops alike."""
+    B, H, W, C = arr.shape
+    S = _shear_span(W)
+    x = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+    d = jnp.clip(jnp.round(s[:, None] * x[None, :]), -S, S)
+    t = (off[:, None].astype(jnp.int32)
+         - d.astype(jnp.int32))                             # (B, W)
+    padded = jnp.pad(arr, ((0, 0), (2 * S, S), (0, 0), (0, 0)))
+    # out[b, r, x, c] = padded[b, r + 2S - t[b, x], x, c]: single gather
+    # (t in [-S, 2S] keeps the index inside the padded range)
+    idx = (jnp.arange(H, dtype=jnp.int32)[None, :, None]
+           + 2 * S - t[:, None, :])                         # (B, H, W)
+    return jnp.take_along_axis(padded, idx[..., None], axis=1)
+
+
+def _interval_overlap_score(tbl, lo, hi):
+    """Sum of positive top/bottom blob interval overlaps for one axis
+    table (B, M, 7, 2) using fields [lo, hi); zeroed unused slots
+    contribute nothing (their [0, 0) intervals are empty)."""
+    t_lo, t_hi = tbl[:, :, lo, 0], tbl[:, :, hi, 0]         # (B, M)
+    b_lo, b_hi = tbl[:, :, lo, 1], tbl[:, :, hi, 1]
+    ov = (jnp.minimum(t_hi[:, :, None], b_hi[:, None, :])
+          - jnp.maximum(t_lo[:, :, None], b_lo[:, None, :]))
+    return jnp.sum(jnp.maximum(ov, 0.0), axis=(1, 2))       # (B,)
+
+
+def choose_stacking_axis(tables, n_blobs):
+    """Per-paragraph text-stacking axis: a line's top band lies strictly
+    above (rows) or left of (columns) its bottom band along the stacking
+    axis, so the two channels' blob intervals are disjoint there and
+    overlap almost completely along the other.  Pick the axis with the
+    smaller top<->bottom interval overlap; ties fall to rows (level
+    text).  tables (B, 2, M, 7, C), n_blobs (B, 2, C) -> (B,) int32."""
+    del n_blobs  # zeroed unused slots already contribute no overlap
+    ov_rows = _interval_overlap_score(tables[:, 0], 1, 2)
+    ov_cols = _interval_overlap_score(tables[:, 1], 3, 4)
+    return (ov_rows > ov_cols).astype(jnp.int32)
+
+
+def merge_suspect(bands):
+    """Per-paragraph flag: the 1D row-run decomposition provably merged
+    structure that survives at column-group granularity — some column
+    group's (closed) occupancy has more runs than the global (closed)
+    row profile.  That happens exactly when distinct lines' bands chain
+    through staggered or wavy content the shear sweep could not level
+    (measured failure class: deskewed rotated paragraphs, eval pages
+    0/5).  Such paragraphs escalate to exact host-CCL planning on their
+    pulled masks (OCRPipeline._plan_lines).
+
+    bands: (B, H, W, C) bool, already sheared for the axis under test
+    -> (B,) bool."""
+    B, H, W, C = bands.shape
+    G, gw, _ = _group_centers(W)
+    Wp = G * gw
+    m = bands
+    if Wp != W:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+    prof = m.reshape(B, H, G, gw, C).any(axis=3)            # (B,H,G,C)
+    profc = _close_runs(
+        prof.reshape(B, H, G * C).astype(jnp.float32),
+        CLOSE_RADIUS).reshape(B, H, G, C)
+
+    def runs(occ):
+        pad = ((0, 0), (1, 0)) + ((0, 0),) * (occ.ndim - 2)
+        prev = jnp.pad(occ[:, :-1], pad)
+        return jnp.sum((occ & ~prev).astype(jnp.int32), axis=1)
+
+    local = jnp.max(runs(profc), axis=1)                    # (B,C)
+    glob = runs(_close_runs(
+        prof.any(axis=2).astype(jnp.float32), CLOSE_RADIUS))  # (B,C)
+    return jnp.any((local > glob) & (glob > 0), axis=1)
+
+
+def _close_1d_host(occ, radius):
+    """NumPy mirror of _close_runs for ONE (L,) bool occupancy vector."""
+    if not radius:
+        return occ.copy()
+    L = len(occ)
+    dil = np.zeros_like(occ)
+    for s in range(-radius, radius + 1):
+        lo, hi = max(0, -s), min(L, L - s)
+        dil[lo:hi] |= occ[lo + s:hi + s]
+    closed = np.ones_like(occ)
+    for s in range(-radius, radius + 1):
+        pad = np.ones(L, bool)
+        lo, hi = max(0, -s), min(L, L - s)
+        pad[lo:hi] = dil[lo + s:hi + s]
+        closed &= pad
+    return closed
+
+
+def merge_suspect_host(bands):
+    """NumPy mirror of merge_suspect: (B, H, W, C) bool -> (B,) bool."""
+    bands = np.asarray(bands, bool)
+    B, H, W, C = bands.shape
+    G, gw, _ = _group_centers(W)
+    Wp = G * gw
+    m = bands
+    if Wp != W:
+        m = np.pad(m, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+    prof = m.reshape(B, H, G, gw, C).any(axis=3)            # (B,H,G,C)
+    out = np.zeros(B, bool)
+    for bi in range(B):
+        for c in range(C):
+            glob = _close_1d_host(prof[bi, :, :, c].any(axis=1),
+                                  CLOSE_RADIUS)
+            def _runs(v):
+                return int((v & ~np.concatenate([[False], v[:-1]])).sum())
+            ng = _runs(glob)
+            nl = max(_runs(_close_1d_host(prof[bi, :, g, c],
+                                          CLOSE_RADIUS))
+                     for g in range(G))
+            if ng > 0 and nl > ng:
+                out[bi] = True
+    return out
 
 
 def _close_runs(occ, radius):
@@ -413,38 +666,100 @@ def _axis_blob_tables(bands, close_radius, max_blobs):
 
 
 def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
-                     max_blobs=MAX_BAND_BLOBS):
-    """Both-axis blob tables of (B, H, W, C) boolean band masks.
+                     max_blobs=MAX_BAND_BLOBS, margin=False):
+    """Both-axis blob tables of (B, H, W, C) boolean band masks, each
+    axis decomposed AFTER shearing away that axis's residual tilt
+    (_best_shear), so bands that bleed across rows (columns) still
+    separate into per-line runs.
 
-    Returns (tables, n_blobs): tables (B, 2, max_blobs, 7, C) f32 with
-    axis 1 = {0: row-run decomposition, 1: column-run decomposition},
-    fields [count, y0, y1, x0, x1, cy, cx] in ORIGINAL image coordinates
-    for both axes; n_blobs (B, 2, C) int32."""
-    rows_tbl, rows_n = _axis_blob_tables(bands, close_radius, max_blobs)
-    cols_tbl, cols_n = _axis_blob_tables(
-        jnp.transpose(bands, (0, 2, 1, 3)), close_radius, max_blobs)
+    Returns (tables, n_blobs, shears): tables (B, 2, max_blobs, 7, C)
+    f32 with axis 1 = {0: row-run decomposition, 1: column-run
+    decomposition}, fields [count, y0, y1, x0, x1, cy, cx] in SHEARED
+    image coordinates per axis (identical to original coordinates for
+    untilted content); n_blobs (B, 2, C) int32; shears (B, 2) f32 per-
+    axis slopes.  margin=True additionally shifts tilted content down
+    (right) by the shear span so up-sheared rows stay in frame — used
+    for rotated crops, whose content starts at row 0; the host adds the
+    same margin when sizing the crop bucket."""
+    B = bands.shape[0]
+
+    def axis_tables(view):
+        s = _best_shear(view)
+        S = _shear_span(view.shape[2])
+        off = (jnp.where(s != 0.0, S, 0) if margin
+               else jnp.zeros((B,), jnp.int32)).astype(jnp.int32)
+        tbl, n = _axis_blob_tables(_shear_rows(view, s, off),
+                                   close_radius, max_blobs)
+        return tbl, n, s
+
+    rows_tbl, rows_n, s_rows = axis_tables(bands)
+    cols_tbl, cols_n, s_cols = axis_tables(
+        jnp.transpose(bands, (0, 2, 1, 3)))
     # un-transpose the column-axis fields back to image coordinates
     cols_tbl = cols_tbl[:, :, (0, 3, 4, 1, 2, 6, 5), :]
     tables = jnp.stack([rows_tbl, cols_tbl], axis=1)
     n_blobs = jnp.stack([rows_n, cols_n], axis=1)
-    return tables, n_blobs
+    shears = jnp.stack([s_rows, s_cols], axis=1)
+    return tables, n_blobs, shears
+
+
+def _best_shear_host(view_b):
+    """NumPy mirror of _best_shear for ONE paragraph's (L, W, C) mask."""
+    L, W, C = view_b.shape
+    S = _shear_span(W)
+    m = view_b.any(axis=2)                                  # (L, W)
+    G, gw, centers = _group_centers(W)
+    Wp = G * gw
+    if Wp != W:
+        m = np.pad(m, ((0, 0), (0, Wp - W)))
+    prof = m.reshape(L, G, gw).any(axis=2)                  # (L, G)
+    slopes = _shear_candidates()
+    shifts = np.clip(np.round(slopes[:, None] * centers[None, :]),
+                     -S, S).astype(np.int32)                # (K, G)
+    R = L + 2 * S
+    profp = np.pad(prof, ((2 * S, 2 * S), (0, 0)))
+    occ = np.zeros((SHEAR_CANDIDATES, R, G), bool)
+    for d in range(-S, S + 1):
+        sel = (shifts == d)[:, None, :]
+        occ |= profp[None, d + S:d + S + R, :] & sel
+    score = occ.any(axis=2).sum(axis=1).astype(np.float32)
+    score = score + (1e-3 * np.abs(slopes) / MAX_SHEAR).astype(np.float32)
+    return np.float32(slopes[int(np.argmin(score))])
+
+
+def _shear_rows_host(view_b, s, off):
+    """NumPy mirror of _shear_rows for ONE paragraph's (L, W, C) mask."""
+    L, W, C = view_b.shape
+    S = _shear_span(W)
+    x = np.arange(W, dtype=np.float32) - (W - 1) / 2.0
+    t = off - np.clip(np.round(np.float32(s) * x), -S, S).astype(np.int32)
+    padded = np.pad(view_b, ((2 * S, S), (0, 0), (0, 0)))
+    out = np.zeros_like(view_b)
+    for xi in range(W):
+        out[:, xi] = padded[2 * S - t[xi]:2 * S - t[xi] + L, xi]
+    return out
 
 
 def band_blob_tables_host(bands, close_radius=CLOSE_RADIUS,
-                          max_blobs=MAX_BAND_BLOBS):
-    """NumPy reference of band_blob_tables (same fields, same merge
-    semantics) — the equality pin for the device kernel and the host
-    fallback when planning without a device round trip."""
+                          max_blobs=MAX_BAND_BLOBS, margin=False):
+    """NumPy reference of band_blob_tables (same fields, same shear and
+    merge semantics) — the equality pin for the device kernel and the
+    host fallback when planning without a device round trip."""
     bands = np.asarray(bands, bool)
     B, H, W, C = bands.shape
     tables = np.zeros((B, 2, max_blobs, 7, C), np.float32)
     n_blobs = np.zeros((B, 2, C), np.int32)
+    shears = np.zeros((B, 2), np.float32)
     for axis in range(2):
         view = bands if axis == 0 else bands.transpose(0, 2, 1, 3)
         L = view.shape[1]
         for bi in range(B):
+            s = _best_shear_host(view[bi])
+            shears[bi, axis] = s
+            off = _shear_span(view.shape[2]) if (margin and s != 0.0) else 0
+            sheared = _shear_rows_host(view[bi], s, off)
             for c in range(C):
-                m = view[bi, :, :, c]
+                m = sheared[:, :, c]
                 occ = m.any(axis=1)
                 closed = occ.copy()
                 if close_radius:
@@ -474,100 +789,23 @@ def band_blob_tables_host(bands, close_radius=CLOSE_RADIUS,
                     entry = ([cnt, y0, y1, x0, x1, cy, cx] if axis == 0
                              else [cnt, x0, x1, y0, y1, cx, cy])
                     tables[bi, axis, blob, :, c] = entry
-    return tables, n_blobs
+    return tables, n_blobs, shears
 
 
-def level_paragraph_crops(padded_stack, blob_bits, page_idx,
-                          start_y, start_x):
-    """Level (no-deskew) paragraph crops as per-sample dynamic slices.
+def choose_stacking_axis_host(tables, n_blobs):
+    """NumPy mirror of choose_stacking_axis: (B,) int32."""
+    tables = np.asarray(tables)
 
-    TPU gathers with arbitrary 2D indices are orders of magnitude slower
-    than contiguous DMA; for the common angle=None paragraph the "rotation"
-    is the identity, so the crop is a static-size dynamic_slice from the
-    padded page stack multiplied by the blob mask (which the host packs
-    pre-ALIGNED to the same placement, so the multiply also applies the
-    make_divisible_by positioning and zeroes everything outside).
+    def overlap(tbl, lo, hi):
+        t_lo, t_hi = tbl[:, :, lo, 0], tbl[:, :, hi, 0]
+        b_lo, b_hi = tbl[:, :, lo, 1], tbl[:, :, hi, 1]
+        ov = (np.minimum(t_hi[:, :, None], b_hi[:, None, :])
+              - np.maximum(t_lo[:, :, None], b_lo[:, None, :]))
+        return np.maximum(ov, 0.0).sum(axis=(1, 2))
 
-    padded_stack : (N, H', W', 1) f32 pages, padded so no slice clamps:
-                   top/left by PAD, bottom/right by the largest menu dims.
-    start_y/x    : (B,) int32 slice origins = bbox - placement + PAD.
-    """
-    HB = blob_bits.shape[1]
-    WB = blob_bits.shape[2] * 8
-    blob = jnp.unpackbits(blob_bits, axis=2).astype(padded_stack.dtype)
-
-    def one(args):
-        page, sy, sx = args
-        zero = jnp.zeros((), page.dtype)
-        return lax.dynamic_slice(
-            padded_stack, (page, sy, sx, zero), (1, HB, WB, 1))[0, :, :, 0]
-
-    crops = lax.map(one, (page_idx, start_y, start_x))
-    return (crops * blob)[..., None]
-
-
-def paragraph_stage_fast(params, padded_stack, blob_bits, page_idx,
-                         start_y, start_x, h_valid, w_valid,
-                         precision=None, tables=False):
-    """Fused level-paragraph stage: dynamic-slice crop + masked Line FCN +
-    band thresholding.  Returns (crops, packed_bands)."""
-    crops = level_paragraph_crops(padded_stack, blob_bits, page_idx,
-                                  start_y, start_x)
-    packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision, tables=tables)
-    return crops, packed
-
-
-def level_paragraph_crops_resident(padded_stack, padded_para, page_idx,
-                                   start_y, start_x, src_h, src_w,
-                                   pad_y, pad_x, out_hb, out_wb):
-    """Level paragraph crops with the blob taken from the DEVICE-RESIDENT
-    paragraph mask instead of a host-uploaded bit plane.
-
-    Valid exactly when the paragraph's bbox contains no pixel of any
-    OTHER component (the host checks this against its labels map): then
-    blob == para_mask ∩ bbox, and the same dynamic slice that positions
-    the monochrome crop positions the mask.  Saves the (B, HB, WB/8)
-    per-launch H2D upload — measured at ~20MB/32 pages, as large as the
-    entire band-mask D2H (scripts/profile_cascade.py wire timeline).
-
-    pad_y/pad_x/src_h/src_w replicate the host's make_divisible_by CENTER
-    placement: content occupies rows [pad_y, pad_y+src_h) of the bucket.
-    """
-    def one(args):
-        page, sy, sx = args
-        zero = jnp.zeros((), page.dtype)
-        mono = lax.dynamic_slice(
-            padded_stack, (page, sy, sx, zero), (1, out_hb, out_wb, 1))
-        para = lax.dynamic_slice(
-            padded_para, (page, sy, sx, zero), (1, out_hb, out_wb, 1))
-        return mono[0, :, :, 0], para[0, :, :, 0]
-
-    mono, para = lax.map(one, (page_idx, start_y, start_x))
-    B = page_idx.shape[0]
-    rows = lax.broadcasted_iota(jnp.int32, (B, out_hb, out_wb), 1)
-    cols = lax.broadcasted_iota(jnp.int32, (B, out_hb, out_wb), 2)
-
-    def col(v):
-        return jnp.asarray(v, jnp.int32).reshape(B, 1, 1)
-
-    rect = ((rows >= col(pad_y)) & (rows < col(pad_y) + col(src_h))
-            & (cols >= col(pad_x)) & (cols < col(pad_x) + col(src_w)))
-    return (mono * para * rect.astype(mono.dtype))[..., None]
-
-
-def paragraph_stage_resident(params, padded_stack, padded_para, page_idx,
-                             start_y, start_x, src_h, src_w, pad_y, pad_x,
-                             h_valid, w_valid, out_hb, out_wb,
-                             precision=None, tables=False):
-    """paragraph_stage_fast without the blob upload (single-component
-    bboxes; see level_paragraph_crops_resident)."""
-    crops = level_paragraph_crops_resident(
-        padded_stack, padded_para, page_idx, start_y, start_x,
-        src_h, src_w, pad_y, pad_x, out_hb, out_wb)
-    packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision, tables=tables)
-    return crops, packed
+    del n_blobs
+    return (overlap(tables[:, 0], 1, 2)
+            > overlap(tables[:, 1], 3, 4)).astype(np.int32)
 
 
 def rotated_paragraph_crops_resident(mono_stack, para_stack, page_idx,
@@ -644,9 +882,9 @@ def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
         mono_stack, para_stack, page_idx, src_y0, src_x0, src_h, src_w,
         cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
         pad_y, pad_x, out_hb, out_wb)
-    packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision, tables=tables)
-    return crops, packed
+    return _finish_paragraph_stage(params, crops, h_valid, w_valid,
+                                   precision=precision, tables=tables,
+                                   margin=True)
 
 
 def paragraph_stage(params, mono_stack, blob_bits, page_idx,
@@ -661,9 +899,9 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
         mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
         cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
         pad_y, pad_x)
-    packed = _band_masks(params, crops, h_valid, w_valid,
-                         precision=precision, tables=tables)
-    return crops, packed
+    return _finish_paragraph_stage(params, crops, h_valid, w_valid,
+                                   precision=precision, tables=tables,
+                                   margin=True)
 
 
 def zoomed_line_crops_matmul(crop_stack, para_idx,

@@ -37,8 +37,7 @@ from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
                                        rotate_array)
 from .bucketing import (CHAR_WIDTH_MENU, line_shape_menu, pick_char_width,
                         pick_line_shape, round_up)
-from .device_cascade import (paragraph_stage, paragraph_stage_fast,
-                             paragraph_stage_resident,
+from .device_cascade import (paragraph_stage,
                              paragraph_stage_rot_resident,
                              rot90_inverse_affine, rotate_affine,
                              zoom_output_width, zoom_ratio,
@@ -318,22 +317,6 @@ class OCRPipeline:
                 iv['out_h'], iv['out_w'], iv['py'], iv['px'], iv['hv'],
                 iv['wv'], hb, wb, precision=precision, tables=tables)
 
-        def stage_fast(params, padded_mono, blob, ints, floats):
-            iv, _ = unpack_paragraph_plan(ints, floats)
-            return paragraph_stage_fast(
-                params, padded_mono, blob, iv['page'], iv['start_y'],
-                iv['start_x'], iv['hv'], iv['wv'],
-                precision=precision, tables=tables)
-
-        def stage_res(params, padded_mono, padded_para, ints, floats,
-                      hb, wb):
-            iv, _ = unpack_paragraph_plan(ints, floats)
-            return paragraph_stage_resident(
-                params, padded_mono, padded_para, iv['page'],
-                iv['start_y'], iv['start_x'], iv['h'], iv['w'],
-                iv['py'], iv['px'], iv['hv'], iv['wv'], hb, wb,
-                precision=precision, tables=tables)
-
         if mesh is not None:
             from ..parallel.serving import (shard_cascade_stage,
                                             shard_fn_over_batch)
@@ -345,35 +328,21 @@ class OCRPipeline:
             # shared gather sources -> replicated; plan matrices shard
             self._paragraph_stage = shard_cascade_stage(
                 stage_rot_blob, mesh, n_replicated=2)
-            self._paragraph_stage_fast = shard_cascade_stage(
-                stage_fast, mesh, n_replicated=2)
-            self._paragraph_stage_res = shard_cascade_stage(
-                stage_res, mesh, n_replicated=3, static_argnums=(5, 6))
             self._paragraph_stage_rot_res = shard_cascade_stage(
                 stage_rot_res, mesh, n_replicated=3, static_argnums=(5, 6))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
             self._paragraph_stage = jax.jit(stage_rot_blob)
-            self._paragraph_stage_fast = jax.jit(stage_fast)
-            self._paragraph_stage_res = jax.jit(
-                stage_res, static_argnums=(5, 6))
             self._paragraph_stage_rot_res = jax.jit(
                 stage_rot_res, static_argnums=(5, 6))
         W_page_pad = page_shape[2]
 
-        def prep_stacks(m, para_packed):
-            """Unpack the device-resident paragraph mask and pad both page
-            stacks for the level-crop dynamic slices."""
+        def prep_stacks(para_packed):
+            """Unpack the device-resident paragraph mask stack (the
+            affine-gather programs read mono and mask unpadded)."""
             para = jnp.unpackbits(para_packed, axis=2)
-            para = para[:, :, :W_page_pad, :].astype(m.dtype)
-
-            def pad(x):
-                return jnp.pad(
-                    x, ((0, 0), (self.STACK_PAD, self.line_shape_menu[-1][0]),
-                        (self.STACK_PAD, self.line_shape_menu[-1][1]),
-                        (0, 0)))
-            return para, pad(m), pad(para)
+            return para[:, :, :W_page_pad, :].astype(jnp.float32)
 
         self._prep_stacks = jax.jit(prep_stacks)
 
@@ -457,8 +426,19 @@ class OCRPipeline:
             crops.append(make_divisible_by(res[0], 16, 16))
         return crops
 
-    def _line_menu_shape(self, h, w):
-        return pick_line_shape(self.line_shape_menu, h, w)
+    def _line_menu_shape(self, h, w, shear_margin=False):
+        """Smallest menu bucket containing (h, w); shear_margin=True
+        (rotated plans in tables mode) additionally reserves the
+        residual-tilt shear span on both axes, so content shifted by the
+        on-device de-tilt (device_cascade._shear_rows) stays in frame."""
+        if not shear_margin:
+            return pick_line_shape(self.line_shape_menu, h, w)
+        from .device_cascade import _shear_span
+        for hb, wb in self.line_shape_menu:
+            if (h + 2 * _shear_span(wb) <= hb
+                    and w + 2 * _shear_span(hb) <= wb):
+                return hb, wb
+        return self.line_shape_menu[-1]
 
     def _run_line_batched(self, crops):
         """All paragraph crops (flat list) -> line predictions (exact
@@ -556,10 +536,10 @@ class OCRPipeline:
     # ------------------------------------------------------------------
 
     def _page_paragraph_plans(self, page_idx, para2d):
-        """Label one page's paragraph mask and plan each blob's crop:
-        level paragraphs (angle None, the common case) become dynamic-slice
-        crops from the padded page stack; deskewed ones carry the scipy
-        rotate affine for the bilinear gather program."""
+        """Label one page's paragraph mask and plan each blob's crop
+        for the affine-gather program: level paragraphs (angle None, the
+        common case) carry the identity affine, deskewed ones the scipy
+        rotate affine."""
         from .. import native as _native
         if _native.available():
             labels, count = _native.label(para2d > 0)
@@ -590,7 +570,8 @@ class OCRPipeline:
             pad_h, pad_w = 16 - out_h % 16, 16 - out_w % 16
             hv, wv = out_h + pad_h, out_w + pad_w
             py, px = pad_h // 2, pad_w // 2
-            hb, wb = self._line_menu_shape(max(h, hv), max(w, wv))
+            hb, wb = self._line_menu_shape(
+                max(h, hv), max(w, wv), shear_margin=self.band_tables)
             # pathological rotations can exceed the page-sized menu (bbox
             # of a rotated page-diagonal paragraph); clamp rather than
             # compile a diagonal-sized program for a case the generator
@@ -604,14 +585,14 @@ class OCRPipeline:
             # single largest wire payload of the cascade) is skipped
             region = labels[sl]
             needs_blob = bool(((region > 0) & (region != label_id)).any())
+            # gather path: blob in bbox-local coords at (0, 0).  Level
+            # paragraphs ride the SAME affine-gather programs with the
+            # identity affine (cos=1, sin=0) — integer coordinates make
+            # the bilinear weights exact, so the crop is bit-equal to a
+            # dynamic slice while the compile menu stays half the size
+            # (one program family instead of level+rotated variants).
             buf = np.zeros((hb, wb), bool)
-            if rotated:
-                # gather path: blob in bbox-local coords at (0, 0)
-                buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
-            else:
-                # slice path: blob pre-aligned to the make_divisible_by
-                # placement, so the multiply positions AND masks the crop
-                buf[py:py + h, px:px + w] = blob
+            buf[:min(h, hb), :min(w, wb)] = blob[:hb, :wb]
             packed_blob = np.packbits(buf, axis=1)
             plans.append({
                 'page': page_idx, 'y0': sl[0].start, 'x0': sl[1].start,
@@ -627,21 +608,21 @@ class OCRPipeline:
         return plans
 
     def _dispatch_paragraph_stage(self, stacks, plans):
-        """Launch the fused crop + Line programs for all plans, grouped by
-        (shape menu, rotated, needs_blob): dynamic-slice programs for
-        level paragraphs, bilinear-gather programs for deskewed ones;
-        single-component bboxes use the blob-free resident variants (no
-        mask upload).  Returns [(plan_indices, crops_dev,
-        packed_bands_dev)] with crops left on device for the line stage."""
-        mono_dev, para_dev, padded_mono, padded_para = stacks
+        """Launch the fused crop + Line programs for all plans, grouped
+        by shape menu: one bilinear-gather program family serves level
+        (identity affine) and deskewed paragraphs alike; single-component
+        bboxes use the blob-free resident variant (no mask upload).
+        Returns [(plan_indices, crops_dev, small_payload_dev,
+        masks_dev_or_None)] with crops left on device for the line
+        stage."""
+        mono_dev, para_dev = stacks
         groups = {}
         for i, plan in enumerate(plans):
-            groups.setdefault((plan['menu'], plan['rotated']),
-                              []).append(i)
+            groups.setdefault(plan['menu'], []).append(i)
         B = self.DEVICE_BATCH
         params = self.line_model.params
         launches = []
-        for ((hb, wb), rotated), idxs in groups.items():
+        for (hb, wb), idxs in groups.items():
             # cluster the (rare, ~9%: scripts) blob-needing plans into as
             # few batches as possible; a batch uses the upload program
             # only if one of its plans needs the true blob — launch count
@@ -686,21 +667,21 @@ class OCRPipeline:
                         floats[bi, ci] = plan[k]
                 iv = jnp.asarray(ints)
                 fv = jnp.asarray(floats)
-                if rotated and needs_blob:
+                if needs_blob:
                     crops, packed = self._paragraph_stage(
                         params, mono_dev, jnp.asarray(blob), iv, fv)
-                elif rotated:
+                else:
                     crops, packed = self._paragraph_stage_rot_res(
                         params, mono_dev, para_dev, iv, fv, hb, wb)
-                elif needs_blob:
-                    crops, packed = self._paragraph_stage_fast(
-                        params, padded_mono, jnp.asarray(blob), iv, fv)
+                if self.band_tables:
+                    # masks stay device-resident: pulled only for
+                    # suspect paragraphs (exact-CCL escalation)
+                    small, masks = packed[:5], packed[5]
                 else:
-                    crops, packed = self._paragraph_stage_res(
-                        params, padded_mono, padded_para, iv, fv, hb, wb)
-                for leaf in jax.tree_util.tree_leaves(packed):
+                    small, masks = packed, None
+                for leaf in jax.tree_util.tree_leaves(small):
                     leaf.copy_to_host_async()
-                launches.append((sel, crops, packed))
+                launches.append((sel, crops, small, masks))
         return launches
 
     @staticmethod
@@ -733,11 +714,19 @@ class OCRPipeline:
                             for a, b in zip(starts, ends)])
         return bboxes, centers
 
-    def _plan_lines(self, bands):
+    def _plan_lines(self, bands, merge_fragments=False):
         """Line gather plans from one paragraph's thresholded band masks
         (the geometry half of crop_lines_of_paragraph).  Pairing /
         orientation / ordering replicate rearrange_lines
-        (interpreter.py:211-233) on (bbox, center) tuples."""
+        (interpreter.py:211-233) on (bbox, center) tuples.
+
+        merge_fragments=True (the tables-mode escalation path only —
+        exact_bands mode stays bit-equal to the host CV pipeline)
+        additionally regroups word-gap band fragments into one line:
+        GT bands are solid bars over the whole line
+        (image_generator/generate.py line_top/line_bottom rectangles;
+        reference generate.py:273-282), so fragmentation is Line-model
+        noise that CCL-faithful pairing over-splits."""
         top_boxes, cm_top = self._band_blob_stats(bands[:, :, 0])
         bottom_boxes, cm_bottom = self._band_blob_stats(bands[:, :, 1])
         if not top_boxes or not bottom_boxes:
@@ -756,47 +745,98 @@ class OCRPipeline:
         order_top = np.argsort(sign * cm_top[:, axis - 1], kind='stable')
         order_bottom = np.argsort(sign * cm_bottom[:, axis - 1],
                                   kind='stable')
-        bboxes = []
+        bboxes, picks = [], []
         for ti, bi in zip(order_top, order_bottom):
             ty, tx = top_boxes[ti]
             by_, bx_ = bottom_boxes[bi]
+            picks.append(int(pick[ti]))
             bboxes.append((
                 slice(min(ty.start, by_.start), max(ty.stop, by_.stop)),
                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
+        if merge_fragments:
+            bboxes = self._merge_line_bboxes(bboxes, picks, rotation)
         return self._plans_from_bboxes(bboxes, rotation)
 
-    def _plan_lines_from_tables(self, tbl, nb):
+    @staticmethod
+    def _merge_line_bboxes(bboxes, picks, rotation):
+        """Union line bboxes whose tops paired with the SAME bottom
+        component: a fragmented top band over one solid bottom is the
+        same line by construction (GT bands are solid bars —
+        image_generator/generate.py line_top/line_bottom rectangles —
+        so the fragmentation is Line-model noise).  Purely geometric
+        merge rules (gap thresholds) were tried and rejected: gaps
+        between neighbouring single-line paragraphs that the Paragraph
+        CCL merged into one crop are word-gap-sized (eval page 3), so
+        no gap scale separates the two cases."""
+        del rotation
+        if len(bboxes) < 2:
+            return bboxes
+        grouped = {}
+        for box, pk in zip(bboxes, picks):
+            if pk in grouped:
+                prev = grouped[pk]
+                grouped[pk] = tuple(
+                    slice(min(prev[d].start, box[d].start),
+                          max(prev[d].stop, box[d].stop))
+                    for d in (0, 1))
+            else:
+                grouped[pk] = box
+        return list(grouped.values())
+
+    @staticmethod
+    def _cross_axis_escalation(tbl, nb, axis):
+        """True when the NON-chosen axis resolves more blobs than the
+        chosen one AND those blobs are genuinely separate lines: far
+        apart along the line direction (gap above ~a line height, i.e.
+        a paragraph margin — side-by-side lines the paragraph CCL
+        merged into one crop, invisible to the chosen axis's 1D runs).
+        Word-gap fragmentation also inflates the other axis's count,
+        but with sub-line-height gaps; the chosen axis's run closing
+        already merges those correctly, so escalating them would
+        re-introduce the reference's over-split (interpreter.py:421-523
+        pairs CCL components with no fragment merge)."""
+        other = 1 - axis
+        cap = tbl.shape[1]
+        # run-interval fields of `other` in image coords: along rows for
+        # the row decomposition, along columns for the column one;
+        # cross-extent fields are the opposite pair
+        lo, hi = (1, 2) if other == 0 else (3, 4)
+        clo, chi = (3, 4) if other == 0 else (1, 2)
+        for ch in range(tbl.shape[3]):
+            n_o = min(int(nb[other, ch]), cap)
+            n_c = min(int(nb[axis, ch]), cap)
+            if n_o <= max(n_c, 1):
+                continue
+            t = tbl[other, :n_o, :, ch]
+            order = np.argsort(t[:, lo], kind='stable')
+            ivs = t[order][:, [lo, hi]]
+            gaps = ivs[1:, 0] - ivs[:-1, 1]
+            heights = t[order][:, chi] - t[order][:, clo]
+            hmin = np.minimum(heights[1:], heights[:-1])
+            if (gaps > 0.8 * hmin).any():
+                return True
+        return False
+
+    def _plan_lines_from_tables(self, tbl, nb, axis=None):
         """Line gather plans from one paragraph's on-device blob tables
-        (band_blob_tables fields [count, y0, y1, x0, x1, cy, cx]).
+        (band_blob_tables fields [count, y0, y1, x0, x1, cy, cx], in the
+        per-axis SHEARED coordinates that also index the returned
+        de-tilted crop stack).
 
         Same pairing / orientation / ordering as _plan_lines, but the
         per-blob geometry arrives precomputed: no mask bytes on the wire,
         no host CCL.  tbl: (2, M, 7, 2) f32 [axis, blob, field, channel];
-        nb: (2, 2) int32 blob counts."""
+        nb: (2, 2) int32 blob counts; axis: the stacking axis the device
+        chose (choose_stacking_axis) — None recomputes it on host (the
+        fallback path when planning from band_blob_tables_host)."""
         cap = tbl.shape[1]
         if nb.max() > cap:
             import sys
             print(f'WARNING: band blob table overflow ({int(nb.max())} > '
                   f'{cap} blobs); extra blobs dropped', file=sys.stderr)
-        # Axis choice: a line's top band lies strictly above its bottom
-        # band, so along the correct (stacking) axis the two channels'
-        # run intervals are disjoint, while along the other axis they
-        # overlap almost completely (both span the text width).  Pick
-        # the axis with the smaller top<->bottom interval overlap; ties
-        # (single empty channel) fall to rows, matching level text.
-        def _interval_overlap(axis):
-            lo, hi = (1, 2) if axis == 0 else (3, 4)
-            nt = min(int(nb[axis, 0]), cap)
-            nbt = min(int(nb[axis, 1]), cap)
-            if nt == 0 or nbt == 0:
-                return 0.0
-            t = tbl[axis, :nt, :, 0]
-            b = tbl[axis, :nbt, :, 1]
-            ov = (np.minimum(t[:, None, hi], b[None, :, hi])
-                  - np.maximum(t[:, None, lo], b[None, :, lo]))
-            return float(np.maximum(ov, 0.0).sum())
-
-        axis = 0 if _interval_overlap(0) <= _interval_overlap(1) else 1
+        if axis is None:
+            from .device_cascade import choose_stacking_axis_host
+            axis = int(choose_stacking_axis_host(tbl[None], nb[None])[0])
         n_top = min(int(nb[axis, 0]), cap)
         n_bottom = min(int(nb[axis, 1]), cap)
         if n_top == 0 or n_bottom == 0:
@@ -886,8 +926,7 @@ class OCRPipeline:
         transfer-pool future and this phase never blocks on a result the
         collect phase can wait for.  Returns state for
         `_collect_chunk_device`."""
-        para_dev, padded_mono, padded_para = self._prep_stacks(
-            mono_dev, jnp.asarray(para_bits))
+        para_dev = self._prep_stacks(jnp.asarray(para_bits))
         if self.mesh is not None:
             # all-gather the page stacks ONCE per chunk: every later
             # gather program reads them as a replicated source (device_put
@@ -896,8 +935,6 @@ class OCRPipeline:
             rep = NamedSharding(self.mesh, P())
             mono_dev = jax.device_put(mono_dev, rep)
             para_dev = jax.device_put(para_dev, rep)
-            padded_mono = jax.device_put(padded_mono, rep)
-            padded_para = jax.device_put(padded_para, rep)
         para = np.unpackbits(para_bits, axis=2)
         para = para[:, :, :self.page_shape[2], 0]
 
@@ -908,15 +945,15 @@ class OCRPipeline:
 
         with self._track('dispatch_paragraph_stage'):
             launches = self._dispatch_paragraph_stage(
-                (mono_dev, para_dev, padded_mono, padded_para), plans)
+                (mono_dev, para_dev), plans)
 
         # all band-mask transfers in flight at once: total wait collapses
         # to wire time instead of launches x RTT.  (A per-row run-summary
         # encoding was tried and measured: 56% of nonempty band rows have
         # 2-15 runs (word gaps) — scripts/band_stats.py — so compact row
         # encodings lose; the 1-bit packed planes are the exact payload.)
-        band_futures = [self._pull(packed, 'bands')
-                        for _, _, packed in launches]
+        band_futures = [self._pull(small, 'bands')
+                        for _, _, small, _ in launches]
 
         texts = {}                      # plan index -> [line text]
 
@@ -924,19 +961,40 @@ class OCRPipeline:
             """Band wait -> line geometry -> line/Char dispatch for ONE
             paragraph launch; launches process in parallel so transfer
             waits, host CCL and dispatches all overlap."""
-            (sel, crops_dev, packed_dev), fut = item
+            (sel, crops_dev, _small, masks_dev), fut = item
             if self.mesh is not None:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
             if self.band_tables:
                 with self._track('pull_band_tables'):
-                    tables, n_blobs = fut.result()
+                    tables, n_blobs, _shears, axes, suspects = \
+                        fut.result()
+                # Escalation: paragraphs whose run decomposition
+                # provably merged lines (device merge_suspect: wavy /
+                # staggered tilt no single shear levels) or whose non-
+                # chosen axis found MORE blobs than the chosen one
+                # (side-by-side lines sharing a row band) are re-planned
+                # with exact host CCL on their sheared masks — pulled
+                # per-paragraph, concurrently, only here
+                esc = {}
+                for bi in range(len(sel)):
+                    ax = int(axes[bi])
+                    if bool(suspects[bi]) or self._cross_axis_escalation(
+                            tables[bi], n_blobs[bi], ax):
+                        esc[bi] = self._pull(masks_dev[bi], 'bands')
                 with self._track('host_line_plans'):
-                    flat = [(bi, lp)
-                            for bi in range(len(sel))
-                            for lp in self._plan_lines_from_tables(
-                                tables[bi], n_blobs[bi])]
+                    flat = []
+                    for bi in range(len(sel)):
+                        if bi in esc:
+                            view = np.unpackbits(
+                                np.asarray(esc[bi].result()), axis=1) > 0
+                            lps = self._plan_lines(
+                                view, merge_fragments=True)
+                        else:
+                            lps = self._plan_lines_from_tables(
+                                tables[bi], n_blobs[bi], int(axes[bi]))
+                        flat.extend((bi, lp) for lp in lps)
             else:
                 with self._track('pull_band_masks'):
                     bands = np.unpackbits(fut.result(), axis=2)
@@ -971,8 +1029,10 @@ class OCRPipeline:
                 for bi, ref in enumerate(ref_sel):
                     w = flat[ref][1]['w_valid']
                     row = ids[bi, :w]
+                    # edge whitespace is crop-margin artifact (the
+                    # line bucket pads past the glyphs), not content
                     line_texts[ref] = pred_ids_to_text(
-                        row, row != 255, self.collapse_runs)
+                        row, row != 255, self.collapse_runs).strip()
             cursor = 0
             for bi, i in enumerate(sel):
                 n_lines = sum(1 for slot, _ in flat if slot == bi)
@@ -1002,17 +1062,15 @@ class OCRPipeline:
                 [np.zeros((1, CHAR_INPUT_HEIGHT, w, 1), np.float32)])
 
     def _warmup_device(self):
-        """Compile the device-cascade program menu: the resident front at
-        full chunk batch, both paragraph-stage programs (slice + gather)
-        per crop-menu shape, and one line-stage program per (crop menu,
-        char width) pair."""
+        """Compile the device-cascade program menu: the resident front
+        at full chunk batch, the blob / resident affine-gather paragraph
+        programs per crop-menu shape, and one line-stage program per
+        (crop menu, char width) pair."""
         H, W = self.page_shape[1], self.page_shape[2]
         self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
         para_bits = np.zeros((self.chunk, H, (W + 7) // 8, 1), np.uint8)
-        stacks = (mono_dev,) + self._prep_stacks(mono_dev,
-                                                 jnp.asarray(para_bits))
-        stacks = (stacks[0], stacks[1], stacks[2], stacks[3])
+        stacks = (mono_dev, self._prep_stacks(jnp.asarray(para_bits)))
         for hb, wb in self.line_shape_menu:
             h, w = min(hb, H) - 8, min(wb, W) - 8
             blob = np.zeros((hb, wb // 8), np.uint8)
@@ -1025,17 +1083,17 @@ class OCRPipeline:
                     'hv': round_up(h, 16), 'wv': round_up(w, 16),
                     'menu': (hb, wb), 'blob': blob}
             crops_by_batch = {}
-            for rotated in (False, True):
-                for needs_blob in (False, True):
-                    plan['rotated'] = rotated
-                    plan['needs_blob'] = needs_blob
-                    for n in (1, self.DEVICE_BATCH):   # B=4 tail + B=16
-                        for _, crops_dev, packed in (
-                                self._dispatch_paragraph_stage(
-                                    stacks, [dict(plan)] * n)):
-                            for leaf in jax.tree_util.tree_leaves(packed):
-                                leaf.block_until_ready()
-                            crops_by_batch[crops_dev.shape[0]] = crops_dev
+            plan['rotated'] = False
+            for needs_blob in (False, True):
+                plan['needs_blob'] = needs_blob
+                for n in (1, self.DEVICE_BATCH):       # B=4 tail + B=16
+                    for _, crops_dev, small, masks in (
+                            self._dispatch_paragraph_stage(
+                                stacks, [dict(plan)] * n)):
+                        for leaf in jax.tree_util.tree_leaves(
+                                (small, masks)):
+                            leaf.block_until_ready()
+                        crops_by_batch[crops_dev.shape[0]] = crops_dev
             # line-stage program per (crop-stack batch, char width) pair
             for crops_dev in crops_by_batch.values():
                 for wc in self.CHAR_WIDTH_MENU:
@@ -1172,7 +1230,7 @@ class OCRPipeline:
                        if flat_lines else [])
 
         # host: decode text, reassemble nesting
-        texts = [pred_ids_to_text(ids, valid, self.collapse_runs)
+        texts = [pred_ids_to_text(ids, valid, self.collapse_runs).strip()
                  for ids, valid in flat_logits]
 
         results = []
