@@ -52,7 +52,12 @@ def main(n_pages=8, collapse=True, seed=123):
     pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
                        collapse_runs=collapse,
                        device_cascade='--host-cascade' not in sys.argv,
-                       precision=precision)
+                       precision=precision,
+                       escalation='--no-escalation' not in sys.argv)
+    if '--exact-bands' in sys.argv:
+        pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
+                           collapse_runs=collapse, device_cascade=True,
+                           precision=precision, exact_bands=True)
     results = pipe.ocr_pages(pages)
 
     ratios = []

@@ -91,6 +91,7 @@ def main(n_pages=32):
     print(f'{n_pages} pages in {elapsed:.2f}s -> '
           f'{n_pages / elapsed:.2f} pages/s; {n_chars} chars')
     print('launch counts:', counts)
+    print('escalations:', pipeline.escalation_stats)
     pipeline.timers.print(prefix='  ')
     tracked = sum(pipeline.timers.totals.values())
     print(f'  (tracked {tracked:.2f}s of {elapsed:.2f}s)')

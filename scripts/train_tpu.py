@@ -1,7 +1,7 @@
 """TPU training driver: configurable curriculum.
 
     python scripts/train_tpu.py MONO PARA LINE CHAR [ALL] [--batched]
-        [--batch=N] [--dp=N]
+        [--batch=N] [--dp=N] [--train-size=N] [--val-size=N]
 
 --batched routes the single-model stages through the batched trainer
 (models/dp_train.py): host CV runs once per stage, epochs are a handful
@@ -37,6 +37,10 @@ CURRICULUM = [c for c in CURRICULUM if c[3] > 0]
 batched = '--batched' in flags or any(f.startswith('--dp=') for f in flags)
 batch = next((int(f.split('=')[1]) for f in flags
               if f.startswith('--batch=')), 16)
+train_size = next((int(f.split('=')[1]) for f in flags
+                   if f.startswith('--train-size=')), 50)
+val_size = next((int(f.split('=')[1]) for f in flags
+                 if f.startswith('--val-size=')), 5)
 mesh = None
 dp = next((int(f.split('=')[1]) for f in flags if f.startswith('--dp=')), 0)
 if dp:
@@ -46,5 +50,6 @@ if dp:
     mesh = Mesh(np.array(jax.devices()[:dp]), ('data',))
 
 train_model(use_gpu=True, curriculum=CURRICULUM, batched=batched,
-            batch=batch, mesh=mesh)
+            batch=batch, mesh=mesh, train_size=train_size,
+            val_size=val_size)
 print('TRAINING DONE')

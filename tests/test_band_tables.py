@@ -299,3 +299,87 @@ def test_merge_line_bboxes_shared_bottom_only():
     assert merge(frags, [0, 1], None) == frags
     stacked = [(s(10, 30), s(5, 60)), (s(40, 60), s(5, 60))]
     assert merge(stacked, [0, 1], None) == stacked
+
+
+def test_tables_planner_merges_shared_bottom_duplicates():
+    """Two top runs picking the SAME bottom run (the channels' run
+    decompositions disagree: the top split what the bottom merged) must
+    yield ONE plan — the zip pairing would otherwise emit overlapping
+    near-duplicate bboxes and the page decodes the same glyphs twice
+    (observed: eval page 1 printed one line twice)."""
+    bands = np.zeros((1, 64, 96, 2), bool)
+    bands[0, 4:10, 2:90, 0] = True       # top fragment A
+    bands[0, 16:22, 2:90, 0] = True      # top fragment B (gap > closing)
+    bands[0, 30:36, 2:90, 1] = True      # single bottom for both
+    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
+                       device_cascade=True)
+    tbl, nb, _ = band_blob_tables_host(bands)
+    assert nb[0, 0, 0] == 2 and nb[0, 0, 1] == 1
+    plans = pipe._plan_lines_from_tables(tbl[0], nb[0], axis=0)
+    assert len(plans) == 1
+
+
+def test_suspect_profile_device_matches_host():
+    """The escalation payload (closed column-group profile) must be
+    bit-identical between the device kernel and the NumPy mirror."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.device_cascade import (_suspect_profile,
+                                                      suspect_profile_host)
+    rs = np.random.RandomState(11)
+    for arr in (_tilted_bands(slope=0.04), _random_bands(rs, frag=True)):
+        sus_d, prof_d = jax.jit(_suspect_profile)(jnp.asarray(arr))
+        sus_h, prof_h = suspect_profile_host(arr)
+        np.testing.assert_array_equal(np.asarray(sus_d), sus_h)
+        np.testing.assert_array_equal(np.asarray(prof_d), prof_h)
+
+
+def test_plan_lines_from_profile_recovers_staggered_lines():
+    """Side-by-side lines with overlapping row ranges chain into one
+    row-run (1D decomposition) but separate under the profile planner's
+    2D grid CCL — the escalation path for merge_suspect paragraphs."""
+    from univer_ocr_tpu.models.device_cascade import suspect_profile_host
+    H, W = 64, 256
+    bands = np.zeros((1, H, W, 2), bool)
+    bands[0, 10:14, 4:100, 0] = True     # line A top
+    bands[0, 18:22, 4:100, 1] = True     # line A bottom
+    bands[0, 14:18, 150:250, 0] = True   # line B top (rows overlap A)
+    bands[0, 22:26, 150:250, 1] = True   # line B bottom
+    _, prof = suspect_profile_host(bands)
+    packed = np.packbits(prof[0].reshape(H, -1).astype(np.uint8), axis=1)
+    pipe = OCRPipeline(PAGE_SHAPE, weights=None, chunk=1, workers=1,
+                       device_cascade=True)
+    # side-by-side lines escalate via the cross-axis trigger (each
+    # column group sees one line, so merge_suspect stays quiet)
+    tbl, nb, _ = band_blob_tables_host(bands)
+    assert pipe._cross_axis_escalation(tbl[0], nb[0], axis=0)
+    plans = pipe._plan_lines_from_profile(packed, axis=0, hb=H, wb=W)
+    assert len(plans) == 2
+    xs = sorted(p['b_x'] for p in plans)
+    assert xs[0] < 100 <= xs[1]          # distinct reading-axis extents
+
+
+def test_tables_payload_roundtrip():
+    """pack_tables_payload (device bitcast) -> unpack_tables_payload
+    (host byte view) must be the identity — pins byte order across the
+    TPU/CPU boundary."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.device_cascade import (
+        MAX_BAND_BLOBS, pack_tables_payload, unpack_tables_payload)
+    rs = np.random.RandomState(5)
+    B, L = 3, 96
+    tbl = rs.rand(B, 2, MAX_BAND_BLOBS, 7, 2).astype(np.float32) * 500
+    nb = rs.randint(0, 48, (B, 2, 2)).astype(np.int32)
+    sh = (rs.rand(B, 2).astype(np.float32) - 0.5) * 0.16
+    ax = rs.randint(0, 2, (B,)).astype(np.int32)
+    sus = rs.rand(B) > 0.5
+    prof = rs.randint(0, 256, (B, L, 16)).astype(np.uint8)
+    buf = jax.jit(pack_tables_payload)(
+        jnp.asarray(tbl), jnp.asarray(nb), jnp.asarray(sh),
+        jnp.asarray(ax), jnp.asarray(sus), jnp.asarray(prof))
+    t2, n2, s2, a2, su2, p2 = unpack_tables_payload(np.asarray(buf))
+    np.testing.assert_array_equal(t2, tbl)
+    np.testing.assert_array_equal(n2, nb)
+    np.testing.assert_array_equal(s2, sh)
+    np.testing.assert_array_equal(a2, ax)
+    np.testing.assert_array_equal(su2, sus)
+    np.testing.assert_array_equal(p2, prof)

@@ -313,12 +313,9 @@ def test_resident_blob_crops_match_uploaded_blob():
                 label_id = int(lab[0]) if len(lab) else 1
                 buf = np.zeros(p['menu'], bool)
                 blob = labels[sl] == label_id
-                if p['rotated']:
-                    buf[:p['h'], :p['w']] = blob[:p['menu'][0],
-                                                 :p['menu'][1]]
-                else:
-                    buf[p['py']:p['py'] + p['h'],
-                        p['px']:p['px'] + p['w']] = blob
+                # bbox-local at (0, 0): every plan rides the affine-
+                # gather program family (identity affine when level)
+                buf[:p['h'], :p['w']] = blob[:p['menu'][0], :p['menu'][1]]
                 p['needs_blob'] = True
                 p['blob'] = np.packbits(buf, axis=1)
         return plans

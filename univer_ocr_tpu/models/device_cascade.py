@@ -250,17 +250,30 @@ LINE_INT_FIELDS = ('para_idx', 'w_out', 'a_yy', 'a_yx', 'b_y',
 LINE_FLT_FIELDS = ('ratio_y', 'ratio_x')
 
 
-def unpack_paragraph_plan(ints, floats):
-    """(B, 15) int32 + (B, 4) f32 -> per-field (B,) column dicts."""
+def unpack_paragraph_plan(plan):
+    """ONE (B, 19) f32 plan matrix -> per-field (B,) column dicts.
+
+    Integer fields ride the f32 matrix and cast back exactly (all plan
+    values < 2^24).  One matrix instead of an int32 + f32 pair because
+    the tunnel charges ~a round trip PER TRANSFER, so each extra leaf
+    per launch is pure latency (see pack_tables_payload)."""
+    ni = len(PARAGRAPH_INT_FIELDS)
+    ints = plan[:, :ni].astype(jnp.int32)
     iv = {name: ints[:, i] for i, name in enumerate(PARAGRAPH_INT_FIELDS)}
-    fv = {name: floats[:, i] for i, name in enumerate(PARAGRAPH_FLT_FIELDS)}
+    fv = {name: plan[:, ni + i]
+          for i, name in enumerate(PARAGRAPH_FLT_FIELDS)}
     return iv, fv
 
 
-def unpack_line_plan(ints, floats):
+def unpack_line_plan(plan):
+    """ONE (B, 11) f32 plan matrix -> per-field (B,) column dicts (see
+    unpack_paragraph_plan)."""
+    ni = len(LINE_INT_FIELDS)
+    ints = plan[:, :ni].astype(jnp.int32)
     iv = {name: ints[:, i] for i, name in enumerate(LINE_INT_FIELDS)}
-    fv = {name: floats[:, i] for i, name in enumerate(LINE_FLT_FIELDS)}
+    fv = {name: plan[:, ni + i] for i, name in enumerate(LINE_FLT_FIELDS)}
     return iv, fv
+
 
 
 # ---------------------------------------------------------------------------
@@ -311,11 +324,13 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
     In tables mode the returned crops are sheared by the chosen stacking
     axis's residual tilt, so the line bboxes (measured in sheared
     coordinates) index them directly and the Char stage reads de-tilted
-    glyphs.  Payload: (tables, n_blobs, shears, axis, suspect, packed) —
-    `suspect` (B,) bool flags paragraphs whose run decomposition
-    provably merged lines (merge_suspect); `packed` are the identically-
-    sheared bit-packed band masks, kept DEVICE-RESIDENT by the caller
-    and pulled only for suspect paragraphs (exact-CCL escalation)."""
+    glyphs.  Payload: ONE (B, NBYTES) uint8 buffer —
+    pack_tables_payload(tables, n_blobs, shears, axis, suspect,
+    profile); `suspect` flags paragraphs whose run decomposition
+    provably merged lines (merge_suspect), `profile` is the bit-packed
+    closed column-group occupancy of the chosen-axis view that their
+    grid-CCL escalation re-plans on
+    (OCRPipeline._plan_lines_from_profile)."""
     bands = _thresholded_bands(params, crops, h_valid, w_valid,
                                precision=precision)
     if not tables:
@@ -339,11 +354,23 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
 
     crops = shear_both(crops)
     bands_sh = shear_both(bands)
-    suspect = jnp.where(
-        axis == 0, merge_suspect(bands_sh),
-        merge_suspect(jnp.transpose(bands_sh, (0, 2, 1, 3))))
-    packed = jnp.packbits(bands_sh.astype(jnp.uint8), axis=2)
-    return crops, (tbl, n_blobs, shears, axis, suspect, packed)
+    sus0, pr0 = _suspect_profile(bands_sh)
+    sus1, pr1 = _suspect_profile(jnp.transpose(bands_sh, (0, 2, 1, 3)))
+    suspect = jnp.where(axis == 0, sus0, sus1)
+    # escalation payload: the CLOSED column-group occupancy profile of
+    # the chosen-axis view, bit-packed — (L, G*C/8) ~ 8-12 KB, vs the
+    # ~70 KB full band masks it replaces (measured: profile-grid CCL
+    # recovers the same merged lines at 1/8 the wire bytes)
+    L = max(pr0.shape[1], pr1.shape[1])
+
+    def pack(p):
+        p = jnp.pad(p, ((0, 0), (0, L - p.shape[1]), (0, 0), (0, 0)))
+        return p.reshape(B, L, -1)
+
+    prof = jnp.where((axis == 0)[:, None, None], pack(pr0), pack(pr1))
+    packed_prof = jnp.packbits(prof.astype(jnp.uint8), axis=2)
+    return crops, pack_tables_payload(tbl, n_blobs, shears, axis,
+                                      suspect, packed_prof)
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +441,57 @@ SHEAR_CANDIDATES = 27
 MAX_SHEAR = 0.08
 #: column groups for the candidate-scoring profile
 SHEAR_GROUPS = 64
+
+
+def _f32_bytes(x):
+    """(…) numeric -> little-endian f32 byte view (…, 4) uint8."""
+    return lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint8)
+
+
+def pack_tables_payload(tbl, n_blobs, shears, axis, suspect, profile):
+    """Flatten the tables-mode paragraph payload into ONE (B, NBYTES)
+    uint8 buffer.
+
+    The tunnel to the TPU charges ~a full round trip per TRANSFER OP
+    regardless of size (measured: a fresh 6-leaf payload pull is 194 ms,
+    the same bytes as one buffer 45 ms), so the per-launch D2H must be a
+    single array.  Integer/bool pieces ride as f32 bytes (values < 2^24,
+    exact); the profile is already uint8."""
+    B = tbl.shape[0]
+    parts = [
+        _f32_bytes(tbl).reshape(B, -1),
+        _f32_bytes(n_blobs).reshape(B, -1),
+        _f32_bytes(shears).reshape(B, -1),
+        _f32_bytes(axis).reshape(B, -1),
+        _f32_bytes(suspect.astype(jnp.float32)).reshape(B, -1),
+        profile.reshape(B, -1),
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def unpack_tables_payload(buf, max_blobs=MAX_BAND_BLOBS):
+    """Host inverse of pack_tables_payload: (B, NBYTES) uint8 ->
+    (tables, n_blobs, shears, axis, suspect, profile) NumPy arrays;
+    profile comes back as (B, L, G*C/8) bit-packed rows."""
+    buf = np.asarray(buf)
+    B = buf.shape[0]
+
+    def f32(n, o):
+        return buf[:, o:o + 4 * n].copy().view(np.float32), o + 4 * n
+
+    o = 0
+    tbl, o = f32(2 * max_blobs * 7 * 2, o)
+    tbl = tbl.reshape(B, 2, max_blobs, 7, 2)
+    n_blobs, o = f32(4, o)
+    n_blobs = n_blobs.astype(np.int32).reshape(B, 2, 2)
+    shears, o = f32(2, o)
+    axis, o = f32(1, o)
+    axis = axis.astype(np.int32).reshape(B)
+    suspect, o = f32(1, o)
+    suspect = suspect.astype(bool).reshape(B)
+    profile = buf[:, o:].reshape(B, -1, SHEAR_GROUPS * 2 // 8)
+    return tbl, n_blobs, shears.reshape(B, 2), axis, suspect, profile
+
 
 
 def _shear_span(extent):
@@ -517,18 +595,19 @@ def choose_stacking_axis(tables, n_blobs):
     return (ov_rows > ov_cols).astype(jnp.int32)
 
 
-def merge_suspect(bands):
-    """Per-paragraph flag: the 1D row-run decomposition provably merged
-    structure that survives at column-group granularity — some column
-    group's (closed) occupancy has more runs than the global (closed)
-    row profile.  That happens exactly when distinct lines' bands chain
-    through staggered or wavy content the shear sweep could not level
-    (measured failure class: deskewed rotated paragraphs, eval pages
-    0/5).  Such paragraphs escalate to exact host-CCL planning on their
-    pulled masks (OCRPipeline._plan_lines).
+#: a column-group run must span this many rows to count as line
+#: structure in merge_suspect — real bands are >=3 rows at the smallest
+#: generator font, while the Line model's speckle noise is 1-2 rows;
+#: counting every run made ~90% of real paragraphs "suspect" and the
+#: escalation mask pulls erased the whole band-tables win (measured:
+#: 14.2 -> 3.1 pages/s, 54 of 58 band pulls were escalations)
+MERGE_MIN_ROWS = 3
 
-    bands: (B, H, W, C) bool, already sheared for the axis under test
-    -> (B,) bool."""
+
+def _suspect_profile(bands):
+    """merge_suspect flags PLUS the closed column-group occupancy
+    profile they were computed from — the (B, H, G, C) grid the
+    escalation planner consumes (see merge_suspect)."""
     B, H, W, C = bands.shape
     G, gw, _ = _group_centers(W)
     Wp = G * gw
@@ -540,15 +619,37 @@ def merge_suspect(bands):
         prof.reshape(B, H, G * C).astype(jnp.float32),
         CLOSE_RADIUS).reshape(B, H, G, C)
 
-    def runs(occ):
+    def tall_runs(occ):
+        # erosion by MERGE_MIN_ROWS: a run's first row survives iff the
+        # run is tall enough; then count rising edges
+        er = occ
+        for s in range(1, MERGE_MIN_ROWS):
+            pad = ((0, 0), (0, s)) + ((0, 0),) * (occ.ndim - 2)
+            er = er & jnp.pad(occ[:, s:], pad)
         pad = ((0, 0), (1, 0)) + ((0, 0),) * (occ.ndim - 2)
-        prev = jnp.pad(occ[:, :-1], pad)
-        return jnp.sum((occ & ~prev).astype(jnp.int32), axis=1)
+        prev = jnp.pad(er[:, :-1], pad)
+        return jnp.sum((er & ~prev).astype(jnp.int32), axis=1)
 
-    local = jnp.max(runs(profc), axis=1)                    # (B,C)
-    glob = runs(_close_runs(
+    local = jnp.max(tall_runs(profc), axis=1)               # (B,C)
+    glob = tall_runs(_close_runs(
         prof.any(axis=2).astype(jnp.float32), CLOSE_RADIUS))  # (B,C)
-    return jnp.any((local > glob) & (glob > 0), axis=1)
+    return jnp.any((local > glob) & (glob > 0), axis=1), profc
+
+
+def merge_suspect(bands):
+    """Per-paragraph flag: the 1D row-run decomposition provably merged
+    structure that survives at column-group granularity — some column
+    group's (closed) occupancy has more TALL (>= MERGE_MIN_ROWS) runs
+    than the global (closed) row profile.  That happens when distinct
+    lines' bands chain through staggered or wavy content the shear sweep
+    could not level (measured failure class: deskewed rotated
+    paragraphs, eval pages 0/5).  Such paragraphs escalate to CCL
+    planning on their pulled column-group profile
+    (OCRPipeline._plan_lines_from_profile).
+
+    bands: (B, H, W, C) bool, already sheared for the axis under test
+    -> (B,) bool."""
+    return _suspect_profile(bands)[0]
 
 
 def _close_1d_host(occ, radius):
@@ -569,8 +670,9 @@ def _close_1d_host(occ, radius):
     return closed
 
 
-def merge_suspect_host(bands):
-    """NumPy mirror of merge_suspect: (B, H, W, C) bool -> (B,) bool."""
+def suspect_profile_host(bands):
+    """NumPy mirror of _suspect_profile: (B, H, W, C) bool ->
+    ((B,) bool, (B, H, G, C) bool closed profile)."""
     bands = np.asarray(bands, bool)
     B, H, W, C = bands.shape
     G, gw, _ = _group_centers(W)
@@ -580,19 +682,32 @@ def merge_suspect_host(bands):
         m = np.pad(m, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
     prof = m.reshape(B, H, G, gw, C).any(axis=3)            # (B,H,G,C)
     out = np.zeros(B, bool)
+    profc = np.zeros_like(prof)
+
+    def _tall_runs(v):
+        er = v.copy()
+        for s in range(1, MERGE_MIN_ROWS):
+            sh = np.zeros_like(v)
+            sh[:len(v) - s] = v[s:]
+            er &= sh
+        return int((er & ~np.concatenate([[False], er[:-1]])).sum())
+
     for bi in range(B):
         for c in range(C):
-            glob = _close_1d_host(prof[bi, :, :, c].any(axis=1),
-                                  CLOSE_RADIUS)
-            def _runs(v):
-                return int((v & ~np.concatenate([[False], v[:-1]])).sum())
-            ng = _runs(glob)
-            nl = max(_runs(_close_1d_host(prof[bi, :, g, c],
-                                          CLOSE_RADIUS))
-                     for g in range(G))
+            for g in range(G):
+                profc[bi, :, g, c] = _close_1d_host(prof[bi, :, g, c],
+                                                    CLOSE_RADIUS)
+            ng = _tall_runs(_close_1d_host(prof[bi, :, :, c].any(axis=1),
+                                           CLOSE_RADIUS))
+            nl = max(_tall_runs(profc[bi, :, g, c]) for g in range(G))
             if ng > 0 and nl > ng:
                 out[bi] = True
-    return out
+    return out, profc
+
+
+def merge_suspect_host(bands):
+    """NumPy mirror of merge_suspect: (B, H, W, C) bool -> (B,) bool."""
+    return suspect_profile_host(bands)[0]
 
 
 def _close_runs(occ, radius):

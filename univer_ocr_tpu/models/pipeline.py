@@ -101,7 +101,7 @@ class OCRPipeline:
                  line_bucket=64, char_bucket=64, collapse_runs=False,
                  quantized_transfers=True, mesh=None, use_pallas=None,
                  device_cascade=False, precision='highest',
-                 exact_bands=False):
+                 exact_bands=False, escalation=True):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -119,6 +119,12 @@ class OCRPipeline:
         #: the parity mode the equality tests pin.
         self.exact_bands = exact_bands
         self.band_tables = device_cascade and not exact_bands
+        #: tables-mode escalation: paragraphs the device flags as
+        #: suspect (merge_suspect / cross-axis disagreement) re-plan
+        #: with 2D CCL on their pulled column-group profile (~8 KB).
+        #: Each fire costs one D2H pull on the critical path; False
+        #: plans every paragraph from the tables alone.
+        self.escalation = escalation
         #: MXU policy for every model forward in this pipeline.  The
         #: constructor default is 'highest' (full-f32, numerics match the
         #: host path) so correctness-focused callers get exact results
@@ -295,11 +301,12 @@ class OCRPipeline:
         from .device_cascade import (unpack_line_plan,
                                      unpack_paragraph_plan)
 
-        # jit roots take ONE packed int32 and ONE packed f32 plan matrix
-        # per launch (a (B,) array per scalar field would cost a tunnel
-        # round trip each; see device_cascade "Packed plan vectors")
-        def stage_rot_blob(params, mono_stack, blob, ints, floats):
-            iv, fv = unpack_paragraph_plan(ints, floats)
+        # jit roots take ONE packed f32 plan matrix per launch (the
+        # tunnel charges ~a round trip per transfer op, so every extra
+        # leaf per launch is pure latency; integer fields round-trip
+        # f32 exactly — device_cascade.unpack_paragraph_plan)
+        def stage_rot_blob(params, mono_stack, blob, plan):
+            iv, fv = unpack_paragraph_plan(plan)
             return paragraph_stage(
                 params, mono_stack, blob, iv['page'], iv['y0'], iv['x0'],
                 iv['h'], iv['w'], fv['cos'], fv['sin'], fv['off_y'],
@@ -307,9 +314,8 @@ class OCRPipeline:
                 iv['out_w'], iv['py'], iv['px'], iv['hv'], iv['wv'],
                 precision=precision, tables=tables)
 
-        def stage_rot_res(params, mono_stack, para_stack, ints, floats,
-                          hb, wb):
-            iv, fv = unpack_paragraph_plan(ints, floats)
+        def stage_rot_res(params, mono_stack, para_stack, plan, hb, wb):
+            iv, fv = unpack_paragraph_plan(plan)
             return paragraph_stage_rot_resident(
                 params, mono_stack, para_stack, iv['page'], iv['y0'],
                 iv['x0'], iv['h'], iv['w'], fv['cos'], fv['sin'],
@@ -329,13 +335,13 @@ class OCRPipeline:
             self._paragraph_stage = shard_cascade_stage(
                 stage_rot_blob, mesh, n_replicated=2)
             self._paragraph_stage_rot_res = shard_cascade_stage(
-                stage_rot_res, mesh, n_replicated=3, static_argnums=(5, 6))
+                stage_rot_res, mesh, n_replicated=3, static_argnums=(4, 5))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
             self._paragraph_stage = jax.jit(stage_rot_blob)
             self._paragraph_stage_rot_res = jax.jit(
-                stage_rot_res, static_argnums=(5, 6))
+                stage_rot_res, static_argnums=(4, 5))
         W_page_pad = page_shape[2]
 
         def prep_stacks(para_packed):
@@ -346,8 +352,8 @@ class OCRPipeline:
 
         self._prep_stacks = jax.jit(prep_stacks)
 
-        def line_stage(params, crop_stack, ints, floats, out_h, out_w):
-            iv, fv = unpack_line_plan(ints, floats)
+        def line_stage(params, crop_stack, plan, out_h, out_w):
+            iv, fv = unpack_line_plan(plan)
             w_valid = iv['w_valid']
             lines = zoomed_line_crops_matmul(
                 crop_stack, iv['para_idx'], fv['ratio_y'], fv['ratio_x'],
@@ -368,9 +374,9 @@ class OCRPipeline:
         if mesh is not None:
             from ..parallel.serving import shard_cascade_stage
             self._line_stage = shard_cascade_stage(
-                line_stage, mesh, n_replicated=2, static_argnums=(4, 5))
+                line_stage, mesh, n_replicated=2, static_argnums=(3, 4))
         else:
-            self._line_stage = jax.jit(line_stage, static_argnums=(4, 5))
+            self._line_stage = jax.jit(line_stage, static_argnums=(3, 4))
         self._pool = ThreadPoolExecutor(max_workers=workers)
         #: dedicated D2H pool: transfers are ~30ms round-trip each over
         #: the tunnel regardless of size, so ALL pulls of a chunk fly
@@ -379,6 +385,10 @@ class OCRPipeline:
         #: optional StageTimers (utils/profiling.py); set to instrument
         #: the cascade's dispatch/sync points at ~zero cost when unset
         self.timers = None
+        #: tables-mode planning counters: how often the exact-CCL
+        #: escalation fires (each fire costs one band-mask D2H pull)
+        self.escalation_stats = {'paragraphs': 0, 'suspect': 0,
+                                 'cross_axis': 0}
         #: when timers are set, every D2H pull records
         #: (tag, start, end, nbytes) here for wire-utilization analysis
         self.timeline = []
@@ -612,9 +622,8 @@ class OCRPipeline:
         by shape menu: one bilinear-gather program family serves level
         (identity affine) and deskewed paragraphs alike; single-component
         bboxes use the blob-free resident variant (no mask upload).
-        Returns [(plan_indices, crops_dev, small_payload_dev,
-        masks_dev_or_None)] with crops left on device for the line
-        stage."""
+        Returns [(plan_indices, crops_dev, payload_dev)] with crops
+        left on device for the line stage."""
         mono_dev, para_dev = stacks
         groups = {}
         for i, plan in enumerate(plans):
@@ -645,43 +654,46 @@ class OCRPipeline:
                         if needs_blob else None)
                 from .device_cascade import (PARAGRAPH_FLT_FIELDS,
                                              PARAGRAPH_INT_FIELDS)
-                ints = np.zeros((Bsub, len(PARAGRAPH_INT_FIELDS)),
-                                np.int32)
-                floats = np.zeros((Bsub, len(PARAGRAPH_FLT_FIELDS)),
-                                  np.float32)
+                ni = len(PARAGRAPH_INT_FIELDS)
+                # ONE f32 plan matrix per launch (integer fields are
+                # < 2^24, f32-exact): each extra leaf in an upload is a
+                # tunnel round trip
+                mat = np.zeros((Bsub, ni + len(PARAGRAPH_FLT_FIELDS)),
+                               np.float32)
                 # filler rows: harmless 4x4 crop at the stack origin
                 for ci, k in enumerate(PARAGRAPH_INT_FIELDS):
                     if k in ('h', 'w', 'out_h', 'out_w', 'hv', 'wv',
                              'y0', 'x0'):
-                        ints[:, ci] = 4
+                        mat[:, ci] = 4
                     elif k in ('start_y', 'start_x'):
-                        ints[:, ci] = self.STACK_PAD
-                floats[:, 0] = 1.0                       # cos
+                        mat[:, ci] = self.STACK_PAD
+                mat[:, ni] = 1.0                         # cos
                 for bi, i in enumerate(sel):
                     plan = plans[i]
                     if needs_blob:
                         blob[bi] = plan['blob']
                     for ci, k in enumerate(PARAGRAPH_INT_FIELDS):
-                        ints[bi, ci] = plan[k]
+                        mat[bi, ci] = plan[k]
                     for ci, k in enumerate(PARAGRAPH_FLT_FIELDS):
-                        floats[bi, ci] = plan[k]
-                iv = jnp.asarray(ints)
-                fv = jnp.asarray(floats)
+                        mat[bi, ni + ci] = plan[k]
+                pv = jnp.asarray(mat)
                 if needs_blob:
                     crops, packed = self._paragraph_stage(
-                        params, mono_dev, jnp.asarray(blob), iv, fv)
+                        params, mono_dev, jnp.asarray(blob), pv)
                 else:
                     crops, packed = self._paragraph_stage_rot_res(
-                        params, mono_dev, para_dev, iv, fv, hb, wb)
-                if self.band_tables:
-                    # masks stay device-resident: pulled only for
-                    # suspect paragraphs (exact-CCL escalation)
-                    small, masks = packed[:5], packed[5]
-                else:
-                    small, masks = packed, None
-                for leaf in jax.tree_util.tree_leaves(small):
+                        params, mono_dev, para_dev, pv, hb, wb)
+                # tables mode: the whole payload — tables + the bit-
+                # packed column-group profile (~12 KB/paragraph) — comes
+                # home in ONE pull per launch.  A device-resident
+                # profile pulled per suspect paragraph was measured and
+                # rejected: each tiny pull costs ~3-4 tunnel round trips
+                # (slice dispatch + ready + transfer), and ~60 suspect
+                # pulls serialized on the link erased the band-tables
+                # win (14 -> 3 pages/s).
+                for leaf in jax.tree_util.tree_leaves(packed):
                     leaf.copy_to_host_async()
-                launches.append((sel, crops, small, masks))
+                launches.append((sel, crops, packed))
         return launches
 
     @staticmethod
@@ -729,8 +741,18 @@ class OCRPipeline:
         noise that CCL-faithful pairing over-splits."""
         top_boxes, cm_top = self._band_blob_stats(bands[:, :, 0])
         bottom_boxes, cm_bottom = self._band_blob_stats(bands[:, :, 1])
-        if not top_boxes or not bottom_boxes:
-            return []
+        bboxes, rotation = self._pair_lines(
+            top_boxes, cm_top, bottom_boxes, cm_bottom, merge_fragments)
+        return self._plans_from_bboxes(bboxes, rotation)
+
+    def _pair_lines(self, top_boxes, cm_top, bottom_boxes, cm_bottom,
+                    merge_fragments):
+        """The pairing / orientation / ordering half of line planning,
+        shared by the exact-mask, table and profile planners.  Takes
+        per-blob (bbox slices, centers) for both channels in image
+        coordinates; returns (line bboxes, rot90 code)."""
+        if not len(top_boxes) or not len(bottom_boxes):
+            return [], 0
         d = np.linalg.norm(cm_top[:, None, :] - cm_bottom[None, :, :],
                            axis=-1)
         pick = d.argmin(axis=1)
@@ -755,6 +777,54 @@ class OCRPipeline:
                 slice(min(tx.start, bx_.start), max(tx.stop, bx_.stop))))
         if merge_fragments:
             bboxes = self._merge_line_bboxes(bboxes, picks, rotation)
+        return bboxes, rotation
+
+    def _plan_lines_from_profile(self, prof_bits, axis, hb, wb):
+        """Escalation planner: line plans from one suspect paragraph's
+        pulled column-group occupancy profile (the (L, G*C/8) bit-packed
+        payload of _finish_paragraph_stage — ~8x fewer wire bytes than
+        the full band masks).  2D CCL on the (rows, G) grid catches the
+        staggered/wavy merges the 1D run decomposition provably missed
+        (merge_suspect); group-axis coordinates are quantized by the
+        group width gw (~8-12 px), exact along the stacking axis — the
+        reading-direction slack decodes as edge whitespace and is
+        stripped.
+
+        axis: the device-chosen stacking axis; the profile view is the
+        sheared bands (axis 0) or their transpose (axis 1), so view
+        dims are (hb, wb) or (wb, hb) of the crop bucket."""
+        from .device_cascade import _group_centers
+        view_h, view_w = (hb, wb) if axis == 0 else (wb, hb)
+        G, gw, _ = _group_centers(view_w)
+        bits = np.unpackbits(np.asarray(prof_bits), axis=1)
+        prof = bits[:view_h].reshape(view_h, G, 2).astype(bool)
+
+        eight = np.ones((3, 3), bool)   # diagonal staircases connect
+        stats = []
+        for c in range(2):
+            labels, cnt = ndimage.label(prof[:, :, c], structure=eight)
+            if cnt == 0:
+                return []
+            boxes, centers = [], []
+            coords = np.argwhere(labels > 0)
+            lab = labels[labels > 0]
+            for blob in range(1, cnt + 1):
+                pts = coords[lab == blob].astype(float)
+                (y0, g0), (y1, g1) = pts.min(axis=0), pts.max(axis=0)
+                box = (slice(int(y0), int(y1) + 1),
+                       slice(int(g0) * gw, min(int(g1 + 1) * gw, view_w)))
+                cy = pts[:, 0].mean()
+                cx = pts[:, 1].mean() * gw + (gw - 1) / 2.0
+                if axis == 1:           # view coords -> image coords
+                    box = (box[1], box[0])
+                    cy, cx = cx, cy
+                boxes.append(box)
+                centers.append((cy, cx))
+            stats.append((boxes, np.asarray(centers)))
+        (top_boxes, cm_top), (bottom_boxes, cm_bottom) = stats
+        bboxes, rotation = self._pair_lines(
+            top_boxes, cm_top, bottom_boxes, cm_bottom,
+            merge_fragments=True)
         return self._plans_from_bboxes(bboxes, rotation)
 
     @staticmethod
@@ -858,12 +928,18 @@ class OCRPipeline:
         order_top = np.argsort(sign * cm_top[:, ax - 1], kind='stable')
         order_bottom = np.argsort(sign * cm_bottom[:, ax - 1],
                                   kind='stable')
-        bboxes = []
+        bboxes, picks = [], []
         for ti, bi in zip(order_top, order_bottom):
             t, b = top[ti], bottom[bi]
+            picks.append(int(pick[ti]))
             bboxes.append((
                 slice(int(min(t[1], b[1])), int(max(t[2], b[2]))),
                 slice(int(min(t[3], b[3])), int(max(t[4], b[4])))))
+        # top/bottom run counts can disagree (one channel's decomposition
+        # merged what the other split); two tops picking the SAME bottom
+        # are one line — without this, the zip pairing emits overlapping
+        # near-duplicate bboxes and the page decodes the same text twice
+        bboxes = self._merge_line_bboxes(bboxes, picks, rotation)
         return self._plans_from_bboxes(bboxes, rotation)
 
     def _plans_from_bboxes(self, bboxes, rotation):
@@ -887,34 +963,37 @@ class OCRPipeline:
     def _dispatch_line_stage(self, crops_dev, line_plans):
         """Launch the fused zoom-gather + Char programs for all lines of
         one paragraph-stage launch.  line_plans: [(slot, plan)].
-        Returns [(plan_refs, ids_dev, valid_dev)]."""
+        Returns [(plan_refs, ids_dev)].
+
+        All lines of the launch share ONE width bucket (the widest any
+        of them needs): per-width grouping fragmented a chunk into ~50
+        line launches whose uploads/pulls each cost a tunnel round trip,
+        while the padded columns they saved cost <1ms of masked device
+        compute."""
         from .device_cascade import LINE_FLT_FIELDS, LINE_INT_FIELDS
-        groups = {}
-        for ref, (slot, plan) in enumerate(line_plans):
-            wc = self._menu_width(plan['w_valid'])
-            groups.setdefault(wc, []).append(ref)
+        if not line_plans:
+            return []
+        wc = max(self._menu_width(plan['w_valid'])
+                 for _, plan in line_plans)
+        refs = list(range(len(line_plans)))
         B = self.DEVICE_BATCH
         params = self.char_model.params
         launches = []
-        for wc, refs in groups.items():
-            for start in range(0, len(refs), B):
-                sel = refs[start:start + B]
-                ints = np.zeros((B, len(LINE_INT_FIELDS)), np.int32)
-                floats = np.zeros((B, len(LINE_FLT_FIELDS)), np.float32)
-                ints[:, LINE_INT_FIELDS.index('w_valid')] = \
-                    CHAR_FIXED_WIDTH
-                for bi, ref in enumerate(sel):
-                    slot, plan = line_plans[ref]
-                    ints[bi, 0] = slot                   # para_idx
-                    for ci, k in enumerate(LINE_INT_FIELDS[1:], start=1):
-                        ints[bi, ci] = plan[k]
-                    for ci, k in enumerate(LINE_FLT_FIELDS):
-                        floats[bi, ci] = plan[k]
-                ids = self._line_stage(params, crops_dev,
-                                       jnp.asarray(ints),
-                                       jnp.asarray(floats),
-                                       CHAR_INPUT_HEIGHT, wc)
-                launches.append((sel, ids))
+        ni = len(LINE_INT_FIELDS)
+        for start in range(0, len(refs), B):
+            sel = refs[start:start + B]
+            mat = np.zeros((B, ni + len(LINE_FLT_FIELDS)), np.float32)
+            mat[:, LINE_INT_FIELDS.index('w_valid')] = CHAR_FIXED_WIDTH
+            for bi, ref in enumerate(sel):
+                slot, plan = line_plans[ref]
+                mat[bi, 0] = slot                        # para_idx
+                for ci, k in enumerate(LINE_INT_FIELDS[1:], start=1):
+                    mat[bi, ci] = plan[k]
+                for ci, k in enumerate(LINE_FLT_FIELDS):
+                    mat[bi, ni + ci] = plan[k]
+            ids = self._line_stage(params, crops_dev, jnp.asarray(mat),
+                                   CHAR_INPUT_HEIGHT, wc)
+            launches.append((sel, ids))
         return launches
 
     def _dispatch_chunk_device(self, n_pages, mono_dev, para_bits):
@@ -952,8 +1031,8 @@ class OCRPipeline:
         # encoding was tried and measured: 56% of nonempty band rows have
         # 2-15 runs (word gaps) — scripts/band_stats.py — so compact row
         # encodings lose; the 1-bit packed planes are the exact payload.)
-        band_futures = [self._pull(small, 'bands')
-                        for _, _, small, _ in launches]
+        band_futures = [self._pull(payload, 'bands')
+                        for _, _, payload in launches]
 
         texts = {}                      # plan index -> [line text]
 
@@ -961,39 +1040,45 @@ class OCRPipeline:
             """Band wait -> line geometry -> line/Char dispatch for ONE
             paragraph launch; launches process in parallel so transfer
             waits, host CCL and dispatches all overlap."""
-            (sel, crops_dev, _small, masks_dev), fut = item
+            (sel, crops_dev, _payload), fut = item
             if self.mesh is not None:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
             if self.band_tables:
+                from .device_cascade import unpack_tables_payload
                 with self._track('pull_band_tables'):
-                    tables, n_blobs, _shears, axes, suspects = \
-                        fut.result()
+                    (tables, n_blobs, _shears, axes, suspects,
+                     profiles) = unpack_tables_payload(fut.result())
                 # Escalation: paragraphs whose run decomposition
                 # provably merged lines (device merge_suspect: wavy /
                 # staggered tilt no single shear levels) or whose non-
                 # chosen axis found MORE blobs than the chosen one
-                # (side-by-side lines sharing a row band) are re-planned
-                # with exact host CCL on their sheared masks — pulled
-                # per-paragraph, concurrently, only here
-                esc = {}
-                for bi in range(len(sel)):
-                    ax = int(axes[bi])
-                    if bool(suspects[bi]) or self._cross_axis_escalation(
-                            tables[bi], n_blobs[bi], ax):
-                        esc[bi] = self._pull(masks_dev[bi], 'bands')
+                # (side-by-side lines sharing a row band) re-plan with
+                # 2D CCL on their sheared column-group profile — part
+                # of the same per-launch pull, so escalating costs no
+                # extra wire round trip
+                st = self.escalation_stats
                 with self._track('host_line_plans'):
                     flat = []
                     for bi in range(len(sel)):
-                        if bi in esc:
-                            view = np.unpackbits(
-                                np.asarray(esc[bi].result()), axis=1) > 0
-                            lps = self._plan_lines(
-                                view, merge_fragments=True)
+                        ax = int(axes[bi])
+                        st['paragraphs'] += 1
+                        escalate = False
+                        if bool(suspects[bi]):
+                            st['suspect'] += 1
+                            escalate = True
+                        elif self._cross_axis_escalation(
+                                tables[bi], n_blobs[bi], ax):
+                            st['cross_axis'] += 1
+                            escalate = True
+                        if escalate and self.escalation:
+                            hb, wb = plans[sel[bi]]['menu']
+                            lps = self._plan_lines_from_profile(
+                                profiles[bi], ax, hb, wb)
                         else:
                             lps = self._plan_lines_from_tables(
-                                tables[bi], n_blobs[bi], int(axes[bi]))
+                                tables[bi], n_blobs[bi], ax)
                         flat.extend((bi, lp) for lp in lps)
             else:
                 with self._track('pull_band_masks'):
@@ -1065,13 +1150,21 @@ class OCRPipeline:
         """Compile the device-cascade program menu: the resident front
         at full chunk batch, the blob / resident affine-gather paragraph
         programs per crop-menu shape, and one line-stage program per
-        (crop menu, char width) pair."""
+        (crop menu, char width) pair.
+
+        Menu entries compile CONCURRENTLY (jit tracing and XLA
+        compilation are thread-safe): on a cold cache every program is
+        a minutes-long remote compile, and the compiles are independent,
+        so fanning the menu over threads bounds cold warmup by the
+        slowest program instead of the sum."""
         H, W = self.page_shape[1], self.page_shape[2]
         self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
         para_bits = np.zeros((self.chunk, H, (W + 7) // 8, 1), np.uint8)
         stacks = (mono_dev, self._prep_stacks(jnp.asarray(para_bits)))
-        for hb, wb in self.line_shape_menu:
+
+        def one_shape(shape):
+            hb, wb = shape
             h, w = min(hb, H) - 8, min(wb, W) - 8
             blob = np.zeros((hb, wb // 8), np.uint8)
             blob[:h, :w // 8] = 0xFF
@@ -1081,30 +1174,40 @@ class OCRPipeline:
                     'py': 0, 'px': 0,
                     'start_y': self.STACK_PAD, 'start_x': self.STACK_PAD,
                     'hv': round_up(h, 16), 'wv': round_up(w, 16),
-                    'menu': (hb, wb), 'blob': blob}
+                    'menu': (hb, wb), 'blob': blob, 'rotated': False}
             crops_by_batch = {}
-            plan['rotated'] = False
-            for needs_blob in (False, True):
-                plan['needs_blob'] = needs_blob
-                for n in (1, self.DEVICE_BATCH):       # B=4 tail + B=16
-                    for _, crops_dev, small, masks in (
-                            self._dispatch_paragraph_stage(
-                                stacks, [dict(plan)] * n)):
-                        for leaf in jax.tree_util.tree_leaves(
-                                (small, masks)):
-                            leaf.block_until_ready()
-                        crops_by_batch[crops_dev.shape[0]] = crops_dev
+
+            def para_variant(needs_blob, n):
+                p = dict(plan, needs_blob=needs_blob)
+                for _, crops_dev, payload in (
+                        self._dispatch_paragraph_stage(
+                            stacks, [p] * n)):
+                    for leaf in jax.tree_util.tree_leaves(payload):
+                        leaf.block_until_ready()
+                    crops_by_batch[crops_dev.shape[0]] = crops_dev
+
+            variants = [(nb, n) for nb in (False, True)
+                        for n in (1, self.DEVICE_BATCH)]  # B=4 tail + B=16
+            list(pool.map(lambda a: para_variant(*a), variants))
+
+            def line_variant(args):
+                crops_dev, wc = args
+                line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0,
+                             'w_out': wc,
+                             'a_yy': 1, 'a_yx': 0, 'b_y': 0,
+                             'a_xy': 0, 'a_xx': 1, 'b_x': 0,
+                             'w_valid': wc}
+                for _, ids in self._dispatch_line_stage(
+                        crops_dev, [(0, line_plan)]):
+                    ids.block_until_ready()
+
             # line-stage program per (crop-stack batch, char width) pair
-            for crops_dev in crops_by_batch.values():
-                for wc in self.CHAR_WIDTH_MENU:
-                    line_plan = {'ratio_y': 0.0, 'ratio_x': 0.0,
-                                 'w_out': wc,
-                                 'a_yy': 1, 'a_yx': 0, 'b_y': 0,
-                                 'a_xy': 0, 'a_xx': 1, 'b_x': 0,
-                                 'w_valid': wc}
-                    for _, ids in self._dispatch_line_stage(
-                            crops_dev, [(0, line_plan)]):
-                        ids.block_until_ready()
+            list(pool.map(line_variant,
+                          [(c, wc) for c in crops_by_batch.values()
+                           for wc in self.CHAR_WIDTH_MENU]))
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(one_shape, self.line_shape_menu))
 
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
