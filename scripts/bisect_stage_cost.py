@@ -9,7 +9,7 @@ from functools import partial
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo-root import shim)
 
 
 def timeit(fn, *args, n=10):

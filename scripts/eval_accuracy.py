@@ -10,7 +10,7 @@ import os
 import sys
 from difflib import SequenceMatcher
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo-root import shim)
 
 import numpy as np
 

@@ -12,7 +12,7 @@ a virtual mesh).
 """
 import os
 import sys
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import _bootstrap  # noqa: F401  (repo-root import shim)
 
 flags = [a for a in sys.argv[1:] if a.startswith('--')]
 args = [a for a in sys.argv[1:] if not a.startswith('--')]
