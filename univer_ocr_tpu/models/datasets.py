@@ -176,9 +176,19 @@ class RandomSelectDataset(BaseDataset):
                                               layer_tags=layer_tags)
 
 
+def _corpus_or_generator(length, dirpath):
+    """The on-disk PNG corpus when `run generate_data` has produced it;
+    otherwise render pages on demand at the corpus dimensions (720x480,
+    generate_data.py) so training works from a clean checkout."""
+    if (dirpath / '0_image.png').exists():
+        return Dataset(length, dirpath)
+    return GeneratorDataset(length, 720, 480)
+
+
 def train_dataset():
-    return Dataset(TRAIN_DATASET_LENGTH, TRAIN_DATA_PATH)
+    return _corpus_or_generator(TRAIN_DATASET_LENGTH, TRAIN_DATA_PATH)
 
 
 def validation_dataset():
-    return Dataset(VALIDATION_DATASET_LENGTH, VALIDATION_DATA_PATH)
+    return _corpus_or_generator(VALIDATION_DATASET_LENGTH,
+                                VALIDATION_DATA_PATH)
