@@ -73,7 +73,7 @@ def main(n_pages=32):
         def wrapper(*a, **k):
             counts[name] = counts.get(name, 0) + 1
             if record is not None:
-                record.append((fn, a, k))
+                record.append((name, fn, a, k))
             return fn(*a, **k)
         return wrapper
 
@@ -145,20 +145,33 @@ def main(n_pages=32):
                 return jax.device_put(jnp.asarray(x))
             return x
 
-        staged = [(fn, tuple(stage(x) for x in a),
+        staged = [(name, fn, tuple(stage(x) for x in a),
                    {kk: stage(v) for kk, v in k.items()})
-                  for fn, a, k in record]
-        outs = [fn(*a, **k) for fn, a, k in staged]
+                  for name, fn, a, k in record]
+        outs = [fn(*a, **k) for _, fn, a, k in staged]
         jax.block_until_ready(outs)  # warm + on-device arg caches
         reps = 5
         t0 = time.time()
         for _ in range(reps):
-            outs = [fn(*a, **k) for fn, a, k in staged]
+            outs = [fn(*a, **k) for _, fn, a, k in staged]
         jax.block_until_ready(outs)
         dt = time.time() - t0
         print(f'  device-only replay: {len(staged)} launches x {reps} reps '
               f'in {dt:.3f}s -> {n_pages * reps / dt:.1f} pages/s '
               f'(compute-bound, no D2H/host geometry)')
+
+        # per-family breakdown: time each program family's launches alone
+        fams = {}
+        for name, fn, a, k in staged:
+            fams.setdefault(name, []).append((fn, a, k))
+        for name, items in fams.items():
+            t0 = time.time()
+            for _ in range(reps):
+                outs = [fn(*a, **k) for fn, a, k in items]
+            jax.block_until_ready(outs)
+            fdt = (time.time() - t0) / reps
+            print(f'    replay[{name}]: {len(items)} launches, '
+                  f'{fdt:.3f}s/rep ({fdt / len(items) * 1e3:.1f}ms/launch)')
 
 
 if __name__ == '__main__':

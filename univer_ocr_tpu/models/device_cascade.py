@@ -335,7 +335,16 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                precision=precision)
     if not tables:
         return crops, jnp.packbits(bands.astype(jnp.uint8), axis=2)
-    tbl, n_blobs, shears = band_blob_tables(bands, margin=margin)
+    # both-axis tables + suspect flags + escalation profiles in ONE
+    # group-stats pass per axis — no full-resolution mask is sheared or
+    # gathered anywhere in tables mode (BENCH r2->r3: the per-column
+    # take_along_axis shears were ~400 ms of every paragraph launch)
+    t0, n0, s0, sus0, pr0 = _axis_pack(bands, margin=margin)
+    t1, n1, s1, sus1, pr1 = _axis_pack(
+        jnp.transpose(bands, (0, 2, 1, 3)), margin=margin)
+    tbl = jnp.stack([t0, t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]], axis=1)
+    n_blobs = jnp.stack([n0, n1], axis=1)
+    shears = jnp.stack([s0, s1], axis=1)
     axis = choose_stacking_axis(tbl, n_blobs)
     B = crops.shape[0]
     s_row = jnp.where(axis == 0, shears[:, 0], 0.0)
@@ -353,9 +362,6 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
         return jnp.transpose(arr_t, (0, 2, 1, 3))
 
     crops = shear_both(crops)
-    bands_sh = shear_both(bands)
-    sus0, pr0 = _suspect_profile(bands_sh)
-    sus1, pr1 = _suspect_profile(jnp.transpose(bands_sh, (0, 2, 1, 3)))
     suspect = jnp.where(axis == 0, sus0, sus1)
     # escalation payload: the CLOSED column-group occupancy profile of
     # the chosen-axis view, bit-packed — (L, G*C/8) ~ 8-12 KB, vs the
@@ -517,17 +523,25 @@ def _group_centers(W):
 def _best_shear(bands):
     """Per-paragraph residual tilt of (B, L, W, C) boolean band masks:
     the slope s minimizing the number of occupied sheared rows
-    r = y - round(s * (x - (W-1)/2)).  Returns (B,) f32 from the
-    candidate grid (exactly 0.0 for well-leveled content: equal scores
-    tie-break toward |s| = 0)."""
+    r = y - round(s * center_{g(x)}) (per column group, _group_shifts).
+    Returns (B,) f32 from the candidate grid (exactly 0.0 for
+    well-leveled content: equal scores tie-break toward |s| = 0)."""
     B, L, W, C = bands.shape
-    S = _shear_span(W)
     m = jnp.any(bands, axis=3)                              # (B, L, W)
     G, gw, centers = _group_centers(W)
     Wp = G * gw
     if Wp != W:
         m = jnp.pad(m, ((0, 0), (0, 0), (0, Wp - W)))
     prof = m.reshape(B, L, G, gw).any(axis=3)               # (B, L, G)
+    return _best_shear_from_prof(prof, W)
+
+
+def _best_shear_from_prof(prof, W):
+    """_best_shear's candidate sweep from the (B, L, G) column-group
+    occupancy profile of a view whose run-axis extent is W."""
+    B, L, G = prof.shape
+    S = _shear_span(W)
+    _, _, centers = _group_centers(W)
 
     slopes = _shear_candidates()
     shifts = jnp.asarray(
@@ -549,9 +563,45 @@ def _best_shear(bands):
     return jnp.asarray(slopes, jnp.float32)[jnp.argmin(score, axis=1)]
 
 
+def _group_shifts(s, W):
+    """Per-column-group integer shear shifts d[b, g] =
+    clip(round(s_b * center_g), -S, S) — the SAME shifts _best_shear
+    scores the candidates with, so scoring and application agree.  The
+    shear is a per-group (not per-column) row shift: round(s*x) already
+    staircases every 1/|s| >= 12.5 px at MAX_SHEAR, the same order as
+    the ~12 px group width, and whole groups moving together is what
+    lets the blob tables decompose exactly onto per-group row stats."""
+    S = _shear_span(W)
+    _, _, centers = _group_centers(W)
+    d = jnp.clip(jnp.round(s[:, None]
+                           * jnp.asarray(centers, jnp.float32)[None, :]),
+                 -S, S)
+    return d.astype(jnp.int32)                              # (B, G)
+
+
+def _log_shift_rows(padded, v, H):
+    """out[b, r, q, c] = padded[b, r + v[b, q], q, c] for v in [0, Vmax],
+    as ceil(log2(Vmax+1)) static-slice selects (no arbitrary-index
+    gathers, which cost ~100x more on TPU).  `padded` must carry at
+    least H + Vmax rows; rows sliding past its end read the last row
+    (callers pad the bottom with their fill value)."""
+    Vmax = int(padded.shape[1]) - H
+    cur = padded
+    k = 0
+    while (1 << k) <= Vmax:
+        step = 1 << k
+        shifted = jnp.concatenate(
+            [cur[:, step:], jnp.repeat(cur[:, -1:], step, axis=1)], axis=1)
+        bit = ((v >> k) & 1).astype(bool)                   # (B, Q)
+        cur = jnp.where(bit[:, None, :, None], shifted, cur)
+        k += 1
+    return cur[:, :H]
+
+
 def _shear_rows(arr, s, off):
     """Integer row shear: out[b, r, x, c] = arr[b, r - t, x, c] with
-    t = off_b - round(s_b * (x - (W-1)/2)); out-of-range reads are zero.
+    t = off_b - d[b, g(x)] (per column GROUP, see _group_shifts);
+    out-of-range reads are zero.
 
     `off` (B,) int32 in [0, _shear_span(W)] shifts content DOWN so rows
     sheared upward stay in frame (rotated crops put content at row 0);
@@ -559,16 +609,13 @@ def _shear_rows(arr, s, off):
     Works on boolean band masks and f32 crops alike."""
     B, H, W, C = arr.shape
     S = _shear_span(W)
-    x = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
-    d = jnp.clip(jnp.round(s[:, None] * x[None, :]), -S, S)
-    t = (off[:, None].astype(jnp.int32)
-         - d.astype(jnp.int32))                             # (B, W)
+    G, gw, _ = _group_centers(W)
+    d = _group_shifts(s, W)                                 # (B, G)
+    # v[b, g] = 2S - t in [0, 3S]; expand group -> column
+    v = 2 * S - off[:, None].astype(jnp.int32) + d
+    vx = jnp.repeat(v, gw, axis=1)[:, :W]                   # (B, W)
     padded = jnp.pad(arr, ((0, 0), (2 * S, S), (0, 0), (0, 0)))
-    # out[b, r, x, c] = padded[b, r + 2S - t[b, x], x, c]: single gather
-    # (t in [-S, 2S] keeps the index inside the padded range)
-    idx = (jnp.arange(H, dtype=jnp.int32)[None, :, None]
-           + 2 * S - t[:, None, :])                         # (B, H, W)
-    return jnp.take_along_axis(padded, idx[..., None], axis=1)
+    return _log_shift_rows(padded, vx, H)
 
 
 def _interval_overlap_score(tbl, lo, hi):
@@ -615,6 +662,13 @@ def _suspect_profile(bands):
     if Wp != W:
         m = jnp.pad(m, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
     prof = m.reshape(B, H, G, gw, C).any(axis=3)            # (B,H,G,C)
+    return _suspect_from_prof(prof)
+
+
+def _suspect_from_prof(prof):
+    """merge_suspect core from a (B, H, G, C) column-group occupancy
+    profile (sheared or not)."""
+    B, H, G, C = prof.shape
     profc = _close_runs(
         prof.reshape(B, H, G * C).astype(jnp.float32),
         CLOSE_RADIUS).reshape(B, H, G, C)
@@ -740,6 +794,19 @@ def _axis_blob_tables(bands, close_radius, max_blobs):
     sumx_r = jnp.sum(b * colsf, axis=2)                     # (B,H,C)
     minx_r = jnp.min(jnp.where(bands, colsi, W), axis=2)    # (B,H,C)
     maxx_r = jnp.max(jnp.where(bands, colsi, -1), axis=2)   # (B,H,C)
+    return _blob_tables_from_row_stats(cnt_r, sumx_r, minx_r, maxx_r, W,
+                                       close_radius, max_blobs)
+
+
+def _blob_tables_from_row_stats(cnt_r, sumx_r, minx_r, maxx_r, W,
+                                close_radius, max_blobs):
+    """Blob tables from per-row aggregates (B, H, C): count, sum of
+    occupied column indices, min/max occupied column (sentinels W / -1
+    on empty rows).  Exactly _axis_blob_tables' tail — a blob is a run
+    of occupied rows, and every per-blob field is a sum/min/max of
+    per-row stats, so group-sheared stats (whole column groups shift
+    together) reproduce the full-resolution tables bit for bit."""
+    B, H, C = cnt_r.shape
     occ = cnt_r > 0                                         # (B,H,C)
 
     closed = _close_runs(occ.astype(jnp.float32), close_radius)
@@ -780,6 +847,29 @@ def _axis_blob_tables(bands, close_radius, max_blobs):
     return table, n_blobs
 
 
+def _group_row_stats(bands):
+    """Per-(row, column-group) aggregates of a (B, H, W, C) boolean
+    view: (cnt f32, sumx f32, minx i32, maxx i32), each (B, H, G, C),
+    with x the IN-VIEW column index and sentinels W / -1 on empty
+    cells.  Four fused reduction passes over the full-resolution mask —
+    the only full-resolution work the tables need; everything after
+    runs on tensors W/G (~12x) smaller."""
+    B, H, W, C = bands.shape
+    G, gw, _ = _group_centers(W)
+    Wp = G * gw
+    m = bands
+    if Wp != W:
+        m = jnp.pad(m, ((0, 0), (0, 0), (0, Wp - W), (0, 0)))
+    m = m.reshape(B, H, G, gw, C)
+    xs = jnp.arange(Wp, dtype=jnp.int32).reshape(1, 1, G, gw, 1)
+    mf = m.astype(jnp.float32)
+    cnt = jnp.sum(mf, axis=3)                               # (B,H,G,C)
+    sumx = jnp.sum(mf * xs.astype(jnp.float32), axis=3)
+    minx = jnp.min(jnp.where(m, xs, W), axis=3)
+    maxx = jnp.max(jnp.where(m, xs, -1), axis=3)
+    return cnt, sumx, minx, maxx
+
+
 def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
                      max_blobs=MAX_BAND_BLOBS, margin=False):
     """Both-axis blob tables of (B, H, W, C) boolean band masks, each
@@ -795,27 +885,58 @@ def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
     axis slopes.  margin=True additionally shifts tilted content down
     (right) by the shear span so up-sheared rows stay in frame — used
     for rotated crops, whose content starts at row 0; the host adds the
-    same margin when sizing the crop bucket."""
-    B = bands.shape[0]
+    same margin when sizing the crop bucket.
 
-    def axis_tables(view):
-        s = _best_shear(view)
-        S = _shear_span(view.shape[2])
-        off = (jnp.where(s != 0.0, S, 0) if margin
-               else jnp.zeros((B,), jnp.int32)).astype(jnp.int32)
-        tbl, n = _axis_blob_tables(_shear_rows(view, s, off),
-                                   close_radius, max_blobs)
-        return tbl, n, s
-
-    rows_tbl, rows_n, s_rows = axis_tables(bands)
-    cols_tbl, cols_n, s_cols = axis_tables(
-        jnp.transpose(bands, (0, 2, 1, 3)))
+    The shear is per column group (_group_shifts), so the tables
+    decompose EXACTLY onto the per-group row stats: whole groups shift
+    together, and every blob field is a sum/min/max of per-row
+    aggregates.  No full-resolution mask is ever sheared or gathered."""
+    t0, n0, s0, _, _ = _axis_pack(bands, close_radius, max_blobs, margin)
+    t1, n1, s1, _, _ = _axis_pack(jnp.transpose(bands, (0, 2, 1, 3)),
+                                  close_radius, max_blobs, margin)
     # un-transpose the column-axis fields back to image coordinates
-    cols_tbl = cols_tbl[:, :, (0, 3, 4, 1, 2, 6, 5), :]
-    tables = jnp.stack([rows_tbl, cols_tbl], axis=1)
-    n_blobs = jnp.stack([rows_n, cols_n], axis=1)
-    shears = jnp.stack([s_rows, s_cols], axis=1)
-    return tables, n_blobs, shears
+    t1 = t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]
+    return (jnp.stack([t0, t1], axis=1), jnp.stack([n0, n1], axis=1),
+            jnp.stack([s0, s1], axis=1))
+
+
+def _axis_pack(view, close_radius=CLOSE_RADIUS, max_blobs=MAX_BAND_BLOBS,
+               margin=False):
+    """One stacking axis's full tables pipeline from a (B, L, E, C)
+    boolean view (E = the run axis' extent): group row stats ->
+    best shear -> sheared stats -> blob tables + the sheared
+    unclosed/closed profiles the suspect test and the escalation
+    payload need.  Returns (table (B,M,7,C), n_blobs (B,C), shear (B,),
+    suspect (B,), closed profile (B,L,G,C))."""
+    B, L, E, C = view.shape
+    S = _shear_span(E)
+    cnt, sumx, minx, maxx = _group_row_stats(view)
+    prof_any = jnp.any(cnt > 0, axis=3)                     # (B,L,G)
+    s = _best_shear_from_prof(prof_any, E)
+    off = (jnp.where(s != 0.0, S, 0) if margin
+           else jnp.zeros((B,), jnp.int32)).astype(jnp.int32)
+    v = 2 * S - off[:, None] + _group_shifts(s, E)          # (B,G)
+
+    def shear(stat, fill):
+        pad_val = jnp.asarray(fill, stat.dtype)
+        padded = jnp.concatenate([
+            jnp.full((B, 2 * S) + stat.shape[2:], pad_val, stat.dtype),
+            stat,
+            jnp.full((B, S) + stat.shape[2:], pad_val, stat.dtype),
+        ], axis=1)
+        return _log_shift_rows(padded, v, L)
+
+    cnt_s = shear(cnt, 0.0)
+    sumx_s = shear(sumx, 0.0)
+    minx_s = shear(minx, E)
+    maxx_s = shear(maxx, -1)
+
+    tbl, n = _blob_tables_from_row_stats(
+        jnp.sum(cnt_s, axis=2), jnp.sum(sumx_s, axis=2),
+        jnp.min(minx_s, axis=2), jnp.max(maxx_s, axis=2),
+        E, close_radius, max_blobs)
+    suspect, profc = _suspect_from_prof(cnt_s > 0)
+    return tbl, n, s, suspect, profc
 
 
 def _best_shear_host(view_b):
@@ -843,11 +964,14 @@ def _best_shear_host(view_b):
 
 
 def _shear_rows_host(view_b, s, off):
-    """NumPy mirror of _shear_rows for ONE paragraph's (L, W, C) mask."""
+    """NumPy mirror of _shear_rows for ONE paragraph's (L, W, C) mask:
+    per column-GROUP shifts (the same _group_shifts the device applies
+    and _best_shear scores with)."""
     L, W, C = view_b.shape
     S = _shear_span(W)
-    x = np.arange(W, dtype=np.float32) - (W - 1) / 2.0
-    t = off - np.clip(np.round(np.float32(s) * x), -S, S).astype(np.int32)
+    G, gw, centers = _group_centers(W)
+    d = np.clip(np.round(np.float32(s) * centers), -S, S).astype(np.int32)
+    t = off - np.repeat(d, gw)[:W]                          # (W,)
     padded = np.pad(view_b, ((2 * S, S), (0, 0), (0, 0)))
     out = np.zeros_like(view_b)
     for xi in range(W):
