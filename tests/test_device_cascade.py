@@ -196,3 +196,108 @@ def test_identity_affine_gather_is_exact_crop():
     ref[0, py:py + h, px:px + w, 0] = region * blob[y0:y0 + h, x0:x0 + w]
 
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass MXU resampler (the serving default; the gather above is the
+# exact reference it is measured against)
+# ---------------------------------------------------------------------------
+
+def _resident_args(mono, para, angle, h, w, y0, x0, hb, wb, pad=(2, 3)):
+    from univer_ocr_tpu.models.device_cascade import rotate_affine
+    B = 1
+    if angle is None:
+        (cos_a, sin_a), off = (1.0, 0.0), (0.0, 0.0)
+        out_h, out_w = h, w
+    else:
+        (rh, rw), (cos_a, sin_a), off = rotate_affine(angle, h, w)
+        out_h, out_w = min(rh, hb), min(rw, wb)
+    return [
+        jnp.asarray(mono), jnp.asarray(para),
+        jnp.asarray([0] * B, jnp.int32),
+        jnp.asarray([y0] * B, jnp.int32), jnp.asarray([x0] * B, jnp.int32),
+        jnp.asarray([h] * B, jnp.int32), jnp.asarray([w] * B, jnp.int32),
+        jnp.asarray([cos_a] * B, jnp.float32),
+        jnp.asarray([sin_a] * B, jnp.float32),
+        jnp.asarray([off[0]] * B, jnp.float32),
+        jnp.asarray([off[1]] * B, jnp.float32),
+        jnp.asarray([0] * B, jnp.int32), jnp.asarray([0] * B, jnp.int32),
+        jnp.asarray([out_h] * B, jnp.int32),
+        jnp.asarray([out_w] * B, jnp.int32),
+        jnp.asarray([pad[0]] * B, jnp.int32),
+        jnp.asarray([pad[1]] * B, jnp.int32),
+        hb, wb,
+    ]
+
+
+def test_twopass_identity_is_bit_exact():
+    """Level paragraphs (identity affine) must be BIT-EQUAL between the
+    two-pass resampler and the gather reference — integer positions make
+    every interpolation weight exactly 0 or 1 on both paths."""
+    from univer_ocr_tpu.models.device_cascade import (
+        rotated_paragraph_crops_resident, twopass_paragraph_crops_resident)
+    rs = np.random.RandomState(3)
+    mono = rs.rand(1, 96, 128, 1).astype(np.float32)
+    para = (rs.rand(1, 96, 128, 1) > 0.3).astype(np.float32)
+    args = _resident_args(mono, para, None, 40, 60, 12, 20, 64, 96)
+    g = np.asarray(rotated_paragraph_crops_resident(*args))
+    t = np.asarray(twopass_paragraph_crops_resident(*args))
+    np.testing.assert_array_equal(g, t)
+
+
+@pytest.mark.parametrize('angle', [7.0, -12.5, 33.0, 80.0, 100.0, 170.0])
+def test_twopass_rotated_close_to_gather(angle):
+    """Rotated paragraphs: the two-pass composition differs from true 2D
+    bilinear by the classic 3-tap kernel (Paeth rotation); on real
+    monochrome maps (smooth blobs) the error is interpolation-scale.
+    Bound the field error on noise input (worst case) and require the
+    supports to coincide."""
+    from univer_ocr_tpu.models.device_cascade import (
+        rotated_paragraph_crops_resident, twopass_paragraph_crops_resident)
+    rs = np.random.RandomState(int(abs(angle)))
+    mono = rs.rand(1, 96, 128, 1).astype(np.float32)
+    para = np.ones((1, 96, 128, 1), np.float32)
+    args = _resident_args(mono, para, angle, 40, 60, 12, 20, 64, 96)
+    g = np.asarray(rotated_paragraph_crops_resident(*args))
+    t = np.asarray(twopass_paragraph_crops_resident(*args))
+    assert np.abs(g - t).mean() < 0.05
+    # identical zero support up to interpolation dust
+    np.testing.assert_array_equal(g == 0, np.abs(t) < 1e-4)
+
+
+def test_twopass_rot90_fold_exact_at_90():
+    """angle=90: the parity fold reduces to an exact rot90, so values
+    must match the gather to float tolerance."""
+    from univer_ocr_tpu.models.device_cascade import (
+        rotated_paragraph_crops_resident, twopass_paragraph_crops_resident)
+    rs = np.random.RandomState(7)
+    mono = rs.rand(1, 96, 128, 1).astype(np.float32)
+    para = (rs.rand(1, 96, 128, 1) > 0.3).astype(np.float32)
+    args = _resident_args(mono, para, 90.0, 40, 60, 12, 20, 64, 96)
+    g = np.asarray(rotated_paragraph_crops_resident(*args))
+    t = np.asarray(twopass_paragraph_crops_resident(*args))
+    np.testing.assert_allclose(t, g, rtol=0, atol=1e-4)
+
+
+def test_twopass_blob_identity_is_bit_exact():
+    from univer_ocr_tpu.models.device_cascade import (
+        rotated_paragraph_crops, twopass_paragraph_crops)
+    rs = np.random.RandomState(5)
+    mono = rs.rand(1, 96, 128, 1).astype(np.float32)
+    hb, wb = 64, 96
+    blob = np.zeros((1, hb, wb), bool)
+    blob[:, :40, :60] = rs.rand(40, 60) > 0.4
+    args = [
+        jnp.asarray(mono), jnp.asarray(np.packbits(blob, axis=2)),
+        jnp.asarray([0], jnp.int32),
+        jnp.asarray([12], jnp.int32), jnp.asarray([20], jnp.int32),
+        jnp.asarray([40], jnp.int32), jnp.asarray([60], jnp.int32),
+        jnp.asarray([1.0], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0.0], jnp.float32), jnp.asarray([0.0], jnp.float32),
+        jnp.asarray([0], jnp.int32), jnp.asarray([0], jnp.int32),
+        jnp.asarray([40], jnp.int32), jnp.asarray([60], jnp.int32),
+        jnp.asarray([2], jnp.int32), jnp.asarray([3], jnp.int32),
+    ]
+    g = np.asarray(rotated_paragraph_crops(*args))
+    t = np.asarray(twopass_paragraph_crops(*args))
+    np.testing.assert_array_equal(g, t)

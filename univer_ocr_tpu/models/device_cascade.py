@@ -1108,19 +1108,255 @@ def rotated_paragraph_crops_resident(mono_stack, para_stack, page_idx,
     return jnp.where(in_domain & in_slice, value, 0.0)[..., None]
 
 
+# ---------------------------------------------------------------------------
+# Two-pass affine paragraph crops (MXU resampling, no arbitrary gathers)
+#
+# The bilinear-gather crops above are the EXACT reference (pinned to the
+# host scipy path at 2e-5), but an arbitrary-index gather over a
+# (B, HB, WB) grid costs ~770 ms/launch on TPU (measured, round 3) — it
+# cannot tile onto the MXU or the VPU lanes.  Serving uses this
+# decomposition instead:
+#
+#   1. parity fold: angles in (45, 135) degrees are reduced by an exact
+#      rot90 of the source (baked into the extraction one-hots), so the
+#      residual rotation always has |cos| >= |sin|;
+#   2. bbox extraction as two one-hot matmuls (exact, integer indices);
+#   3. rotation as two 1D resample passes (Catmull-Smith / Paeth): each
+#      pass is a per-line integer shift (log2 static-slice selects) +
+#      a per-line 2-tap fractional blend + a shared-scale bilinear
+#      one-hot matmul on the MXU.
+#
+# Level paragraphs (cos=1, sin=0 — the identity affine) reduce to pure
+# one-hot projections: bit-exact with the gather and the host crop.
+# Rotated paragraphs differ from true 2D bilinear by the classic
+# two-pass interpolation composition (a 3-tap effective kernel, the same
+# approximation Paeth rotation makes); the end-to-end OCR equality tests
+# bound the effect.  ~3-5 ms/launch replaces ~770.
+# ---------------------------------------------------------------------------
+
+
+def _log_shift_cols(padded, v, K):
+    """out[b, i, x] = padded[b, i, x + v[b, i]] for x in [0, K), v in
+    [0, Vmax], as ceil(log2(Vmax+1)) static-slice selects.  Reads past
+    the end repeat the last column (callers pad the tail with their fill
+    value)."""
+    Vmax = int(padded.shape[2]) - K
+    cur = padded
+    k = 0
+    while (1 << k) <= Vmax:
+        step = 1 << k
+        shifted = jnp.concatenate(
+            [cur[:, :, step:], jnp.repeat(cur[:, :, -1:], step, axis=2)],
+            axis=2)
+        bit = ((v >> k) & 1).astype(bool)
+        cur = jnp.where(bit[:, :, None], shifted, cur)
+        k += 1
+    return cur[:, :, :K]
+
+
+def _affine_pass(src, scale, line_off, pos_off, S, sel_dtype, mxu):
+    """One resample pass: dst[b, i, j] = linear interp of src[b, i, .]
+    at position scale_b*j + line_off_b*(i - I//2) + pos_off_b, reading
+    zero outside [0, K-1].  S is the static bound on
+    |line_off*(i - I//2)| (callers derive it from the parity-fold
+    guarantee |line_off| <= 1 for the x pass, <= sin(45deg) for y)."""
+    B, I, K = src.shape
+    i_rel = jnp.arange(I, dtype=jnp.float32) - (I // 2)
+    q = line_off[:, None] * i_rel[None, :]                  # (B, I)
+    d = jnp.floor(q)
+    f = (q - d).astype(src.dtype)
+    d = jnp.clip(d.astype(jnp.int32), -S, S)
+    padded = jnp.concatenate([
+        jnp.zeros((B, I, 2 * S), src.dtype), src,
+        jnp.zeros((B, I, 2 * S + 1), src.dtype)], axis=2)
+    shifted = _log_shift_cols(padded, S + d, K + 2 * S + 1)
+    # per-line fractional blend: blended[x] = src[x - S + q] zero-ext.
+    blended = (shifted[:, :, :K + 2 * S] * (1 - f)[:, :, None]
+               + shifted[:, :, 1:] * f[:, :, None])
+    pos0 = (scale[:, None] * jnp.arange(K, dtype=jnp.float32)[None, :]
+            + pos_off[:, None])                             # (B, J=K)
+    x0 = jnp.floor(pos0)
+    w = (pos0 - x0).astype(src.dtype)
+    xi = x0.astype(jnp.int32) + S
+    ar = jnp.arange(K + 2 * S, dtype=jnp.int32)
+    sel = ((xi[:, :, None] == ar).astype(sel_dtype) * (1 - w)[:, :, None]
+           + ((xi + 1)[:, :, None] == ar).astype(sel_dtype)
+           * w[:, :, None])                                 # (B, J, K+2S)
+    return jnp.einsum('bix,bjx->bij', blended, sel, precision=mxu)
+
+
+def _twopass_crops(pages, blob, page_idx, src_y0, src_x0, src_h, src_w,
+                   cos_a, sin_a, off_y, off_x, out_y0, out_x0,
+                   out_h, out_w, pad_y, pad_x, out_hb, out_wb,
+                   precision=None):
+    """Shared core of the two-pass crop variants.
+
+    pages : (N, HP, WP) f32 page planes, already paragraph-masked for the
+            resident path (mono*para commutes with resampling because the
+            gather reference also multiplies at integer corner coords).
+    blob  : (B, HB, WB) f32 bbox-local blob mask or None.
+    Other args as rotated_paragraph_crops.  Returns (B, HB, WB, 1) f32.
+    """
+    B = page_idx.shape[0]
+    HB, WB = out_hb, out_wb
+    mode = precision_policy.resolve(precision)
+    if mode == 'bf16':
+        sel_dtype, mxu = jnp.bfloat16, lax.Precision.DEFAULT
+    else:
+        sel_dtype, mxu = jnp.float32, lax.Precision.HIGHEST
+    pg = jnp.take(pages.astype(sel_dtype), page_idx, axis=0)  # (B,HP,WP)
+    HP, WP = pg.shape[1], pg.shape[2]
+
+    sy0 = jnp.asarray(src_y0, jnp.int32)[:, None]
+    sx0 = jnp.asarray(src_x0, jnp.int32)[:, None]
+    sh = jnp.asarray(src_h, jnp.int32)
+    sw = jnp.asarray(src_w, jnp.int32)
+    cos_v = jnp.asarray(cos_a, jnp.float32)
+    sin_v = jnp.asarray(sin_a, jnp.float32)
+    oy = jnp.asarray(off_y, jnp.float32)
+    ox = jnp.asarray(off_x, jnp.float32)
+
+    # parity fold: sample the rot90'd source when |sin| > |cos|, so the
+    # residual rotation satisfies |cos_r| >= |sin_r| (>= cos 45deg)
+    par = jnp.abs(sin_v) > jnp.abs(cos_v)
+    c_r = jnp.where(par, sin_v, cos_v)
+    s_r = jnp.where(par, -cos_v, sin_v)
+    swf = sw.astype(jnp.float32)
+    oy_r = jnp.where(par, swf - 1.0 - ox, oy)
+    ox_r = jnp.where(par, oy, ox)
+
+    def one_hot(idx, size, valid):
+        ar = jnp.arange(size, dtype=jnp.int32)
+        return ((idx[:, :, None] == ar) & valid[:, :, None]).astype(
+            sel_dtype)
+
+    iH = jnp.arange(HB, dtype=jnp.int32)[None, :]
+    iW = jnp.arange(WB, dtype=jnp.int32)[None, :]
+    # parity 0: E0[i, j] = pg[sy0+i, sx0+j]
+    r0 = one_hot(sy0 + iH, HP, iH < sh[:, None])            # (B,HB,HP)
+    c0 = one_hot(sx0 + iW, WP, iW < sw[:, None])            # (B,WB,WP)
+    e0 = jnp.einsum('biy,byx->bix', r0, pg, precision=mxu)
+    e0 = jnp.einsum('bix,bjx->bij', e0, c0, precision=mxu)  # (B,HB,WB)
+    # parity 1: E90[i, j] = pg[sy0+j, sx0+sw-1-i]  (rot90 CCW of the
+    # bbox crop, computed transposed then flipped back)
+    r1 = one_hot(sy0 + iW, HP, iW < sh[:, None])            # (B,WB,HP)
+    c1 = one_hot(sx0 + sw[:, None] - 1 - iH, WP,
+                 iH < sw[:, None])                          # (B,HB,WP)
+    d90 = jnp.einsum('bjy,byx->bjx', r1, pg, precision=mxu)
+    d90 = jnp.einsum('bjx,bix->bji', d90, c1, precision=mxu)  # (B,WB,HB)
+    if blob is not None:
+        blob = blob.astype(sel_dtype)
+        e0 = e0 * blob
+        # d90[j, i] needs blob[j, sw-1-i]; j spans WB slots (content
+        # j < sh), so resize the blob's row axis to WB first
+        if WB >= HB:
+            blobr = jnp.pad(blob, ((0, 0), (0, WB - HB), (0, 0)))
+        else:
+            blobr = blob[:, :WB, :]
+        fl = one_hot(sw[:, None] - 1 - iH, WB, iH < sw[:, None])
+        d90 = d90 * jnp.einsum('bjx,bix->bji', blobr, fl, precision=mxu)
+    src = jnp.where(par[:, None, None], jnp.transpose(d90, (0, 2, 1)), e0)
+
+    gy0 = (jnp.asarray(out_y0, jnp.float32) - jnp.asarray(pad_y, jnp.float32))
+    gx0 = (jnp.asarray(out_x0, jnp.float32) - jnp.asarray(pad_x, jnp.float32))
+
+    # pass 1 (x): X'(y, g) = (1/c)(g + gx0) - (s/c) y + ox + (s/c) oy —
+    # the x position that, composed with pass 2's row positions, lands
+    # exactly on the affine's backward map (X'(Y(r,g), g) == in_x(r,g))
+    inv_c = 1.0 / c_r
+    t = s_r * inv_c                                         # |t| <= 1
+    S1 = HB - HB // 2 + 1
+    h_mid = _affine_pass(
+        src, inv_c, -t,
+        inv_c * gx0 + ox_r + t * oy_r - t * (HB // 2),
+        S1, sel_dtype, mxu)
+    # pass 2 (y): Y(r, g) = c (r + gy0) + s (g + gx0) + oy, along rows
+    # of the transposed intermediate
+    S2 = int(np.ceil(0.70711 * (WB - WB // 2))) + 1
+    out_t = _affine_pass(
+        jnp.transpose(h_mid, (0, 2, 1)), c_r, s_r,
+        c_r * gy0 + s_r * gx0 + oy_r + s_r * (WB // 2),
+        S2, sel_dtype, mxu)
+    crops = jnp.transpose(out_t, (0, 2, 1)).astype(jnp.float32)
+
+    # domain and output-window masks, from the ORIGINAL affine — the
+    # same expressions (and hence the same boundary-epsilon behavior) as
+    # the gather reference; the residual-frame coordinates describe the
+    # identical region but wobble differently at exact edges
+    grid_y = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 1)
+              + gy0[:, None, None])
+    grid_x = (lax.broadcasted_iota(jnp.float32, (B, HB, WB), 2)
+              + gx0[:, None, None])
+    in_y = cos_v[:, None, None] * grid_y + sin_v[:, None, None] * grid_x \
+        + oy[:, None, None]
+    in_x = -sin_v[:, None, None] * grid_y + cos_v[:, None, None] * grid_x \
+        + ox[:, None, None]
+    shf = sh.astype(jnp.float32)
+    in_domain = ((in_y >= 0) & (in_y <= shf[:, None, None] - 1)
+                 & (in_x >= 0) & (in_x <= swf[:, None, None] - 1))
+    out_rows = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 1)
+    out_cols = lax.broadcasted_iota(jnp.int32, (B, HB, WB), 2)
+    py = jnp.asarray(pad_y, jnp.int32)[:, None, None]
+    px = jnp.asarray(pad_x, jnp.int32)[:, None, None]
+    oh = jnp.asarray(out_h, jnp.int32)[:, None, None]
+    ow = jnp.asarray(out_w, jnp.int32)[:, None, None]
+    in_slice = ((out_rows >= py) & (out_rows < py + oh)
+                & (out_cols >= px) & (out_cols < px + ow))
+    return jnp.where(in_domain & in_slice, crops, 0.0)[..., None]
+
+
+def twopass_paragraph_crops(mono_stack, blob_bits, page_idx,
+                            src_y0, src_x0, src_h, src_w,
+                            cos_a, sin_a, off_y, off_x,
+                            out_y0, out_x0, out_h, out_w,
+                            pad_y, pad_x, precision=None):
+    """rotated_paragraph_crops semantics via the two-pass MXU resampler
+    (bit-exact for level paragraphs, Paeth-style two-pass for rotated)."""
+    B, HB = blob_bits.shape[0], blob_bits.shape[1]
+    WB = blob_bits.shape[2] * 8
+    blob = jnp.unpackbits(blob_bits, axis=2).astype(jnp.float32)
+    return _twopass_crops(mono_stack[:, :, :, 0], blob, page_idx,
+                          src_y0, src_x0, src_h, src_w, cos_a, sin_a,
+                          off_y, off_x, out_y0, out_x0, out_h, out_w,
+                          pad_y, pad_x, HB, WB, precision=precision)
+
+
+def twopass_paragraph_crops_resident(mono_stack, para_stack, page_idx,
+                                     src_y0, src_x0, src_h, src_w,
+                                     cos_a, sin_a, off_y, off_x,
+                                     out_y0, out_x0, out_h, out_w,
+                                     pad_y, pad_x, out_hb, out_wb,
+                                     precision=None):
+    """rotated_paragraph_crops_resident semantics via the two-pass MXU
+    resampler.  The paragraph mask multiplies the page plane BEFORE
+    resampling — equivalent to the gather's corner-level multiply, since
+    both read the product at the same integer source coordinates."""
+    masked = mono_stack[:, :, :, 0] * para_stack[:, :, :, 0]
+    return _twopass_crops(masked, None, page_idx, src_y0, src_x0,
+                          src_h, src_w, cos_a, sin_a, off_y, off_x,
+                          out_y0, out_x0, out_h, out_w, pad_y, pad_x,
+                          out_hb, out_wb, precision=precision)
+
+
 def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
                                  src_y0, src_x0, src_h, src_w,
                                  cos_a, sin_a, off_y, off_x,
                                  out_y0, out_x0, out_h, out_w,
                                  pad_y, pad_x, h_valid, w_valid,
                                  out_hb, out_wb, precision=None,
-                                 tables=False):
+                                 tables=False, sampler='twopass'):
     """paragraph_stage without the blob upload (deskewed single-component
     bboxes)."""
-    crops = rotated_paragraph_crops_resident(
-        mono_stack, para_stack, page_idx, src_y0, src_x0, src_h, src_w,
-        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
-        pad_y, pad_x, out_hb, out_wb)
+    if sampler == 'twopass':
+        crops = twopass_paragraph_crops_resident(
+            mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x, out_hb, out_wb, precision=precision)
+    else:
+        crops = rotated_paragraph_crops_resident(
+            mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x, out_hb, out_wb)
     return _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                    precision=precision, tables=tables,
                                    margin=True)
@@ -1130,14 +1366,21 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
                     src_y0, src_x0, src_h, src_w,
                     cos_a, sin_a, off_y, off_x, out_y0, out_x0,
                     out_h, out_w, pad_y, pad_x, h_valid, w_valid,
-                    precision=None, tables=False):
-    """Fused deskewed-paragraph stage (the rare angle!=None path): bilinear
-    rotation gather + masked Line FCN + band thresholding.
-    Returns (crops, packed_bands)."""
-    crops = rotated_paragraph_crops(
-        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
-        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
-        pad_y, pad_x)
+                    precision=None, tables=False, sampler='twopass'):
+    """Fused deskewed-paragraph stage: paragraph crop resampling
+    (two-pass MXU by default, exact bilinear gather on request) +
+    masked Line FCN + band thresholding.
+    Returns (crops, packed_bands | packed tables payload)."""
+    if sampler == 'twopass':
+        crops = twopass_paragraph_crops(
+            mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x, precision=precision)
+    else:
+        crops = rotated_paragraph_crops(
+            mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x)
     return _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                    precision=precision, tables=tables,
                                    margin=True)

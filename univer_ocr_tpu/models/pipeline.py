@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from scipy import ndimage
 
-from ..interpreter.interpreter import (crop_and_rotate_single_paragraph,
+from ..interpreter.interpreter import (_extremal_coords,
+                                       crop_and_rotate_single_paragraph,
                                        find_rotation_angle, label_layer,
                                        pred_ids_to_text, rearrange_lines,
                                        rotate_array)
@@ -93,6 +94,11 @@ class OCRPipeline:
     #: Fixed device batch for Line/Char launches (pow2 padding per launch
     #: would multiply the compile menu by the number of batch sizes).
     DEVICE_BATCH = 16
+    #: line/Char-stage launch batch (device_cascade): a chunk of 8 pages
+    #: carries ~160 lines, and every launch costs one RTT-bound char-id
+    #: pull on this tunnel, so lines batch 4x wider than paragraph crops
+    #: (tail-slot D2H waste is ~12 KB against a ~25 ms RTT saved)
+    LINE_DEVICE_BATCH = 64
     #: top/left padding of the device page stack so level-paragraph
     #: dynamic slices never clamp (bottom/right pad by the largest menu)
     STACK_PAD = 16
@@ -101,7 +107,7 @@ class OCRPipeline:
                  line_bucket=64, char_bucket=64, collapse_runs=False,
                  quantized_transfers=True, mesh=None, use_pallas=None,
                  device_cascade=False, precision='highest',
-                 exact_bands=False, escalation=True):
+                 exact_bands=False, escalation=True, sampler=None):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -132,6 +138,16 @@ class OCRPipeline:
         #: pass 'bf16' explicitly for the one-pass MXU fast path with f32
         #: accumulation (see ops/precision.py).
         self.precision = precision
+        #: paragraph-crop resampler: 'twopass' (MXU one-hot matmuls +
+        #: log-shift shears — ~3 ms/launch; bit-exact for level
+        #: paragraphs, Paeth-style two-pass interpolation for rotated
+        #: ones) or 'gather' (arbitrary-index bilinear, pinned to the
+        #: host scipy path at 2e-5 but ~770 ms/launch on TPU).  Default:
+        #: 'gather' in the exact_bands parity mode (whose point is
+        #: bit-parity with the host path), 'twopass' otherwise.
+        if sampler is None:
+            sampler = 'gather' if exact_bands else 'twopass'
+        self.sampler = sampler
         if use_pallas is None:
             # Pallas kernels target the TPU memory hierarchy; the XLA path
             # serves CPU runs (tests) where pallas would need interpret mode
@@ -305,6 +321,8 @@ class OCRPipeline:
         # tunnel charges ~a round trip per transfer op, so every extra
         # leaf per launch is pure latency; integer fields round-trip
         # f32 exactly — device_cascade.unpack_paragraph_plan)
+        sampler = self.sampler
+
         def stage_rot_blob(params, mono_stack, blob, plan):
             iv, fv = unpack_paragraph_plan(plan)
             return paragraph_stage(
@@ -312,7 +330,7 @@ class OCRPipeline:
                 iv['h'], iv['w'], fv['cos'], fv['sin'], fv['off_y'],
                 fv['off_x'], iv['ry0'], iv['rx0'], iv['out_h'],
                 iv['out_w'], iv['py'], iv['px'], iv['hv'], iv['wv'],
-                precision=precision, tables=tables)
+                precision=precision, tables=tables, sampler=sampler)
 
         def stage_rot_res(params, mono_stack, para_stack, plan, hb, wb):
             iv, fv = unpack_paragraph_plan(plan)
@@ -321,7 +339,8 @@ class OCRPipeline:
                 iv['x0'], iv['h'], iv['w'], fv['cos'], fv['sin'],
                 fv['off_y'], fv['off_x'], iv['ry0'], iv['rx0'],
                 iv['out_h'], iv['out_w'], iv['py'], iv['px'], iv['hv'],
-                iv['wv'], hb, wb, precision=precision, tables=tables)
+                iv['wv'], hb, wb, precision=precision, tables=tables,
+                sampler=sampler)
 
         if mesh is not None:
             from ..parallel.serving import (shard_cascade_stage,
@@ -566,6 +585,25 @@ class OCRPipeline:
                 (cos_a, sin_a), off = (1.0, 0.0), (0.0, 0.0)
                 ry0 = rx0 = 0
                 out_h, out_w = h, w
+            elif self.sampler == 'twopass':
+                # analytic rotated bbox: hull-projection extremes plus
+                # the order-0 nearest-sampling margin, rounded OUTWARD —
+                # replaces the scipy rotate of the blob mask, which was
+                # half the measured host planning cost (96 of 190 ms per
+                # 8 pages).  A <=1 px looser window only adds zero
+                # rows/cols inside the in_domain-masked device crop.
+                (rh, rw), (cos_a, sin_a), off = rotate_affine(angle, h, w)
+                coords = _extremal_coords(blob)
+                dy = coords[:, 0] - off[0]
+                dx = coords[:, 1] - off[1]
+                proj_y = cos_a * dy - sin_a * dx
+                proj_x = sin_a * dy + cos_a * dx
+                m = (abs(cos_a) + abs(sin_a)) / 2.0
+                ry0 = max(int(np.floor(proj_y.min() - m)), 0)
+                rx0 = max(int(np.floor(proj_x.min() - m)), 0)
+                y1 = min(int(np.ceil(proj_y.max() + m)), rh - 1)
+                x1 = min(int(np.ceil(proj_x.max() + m)), rw - 1)
+                out_h, out_w = y1 - ry0 + 1, x1 - rx0 + 1
             else:
                 _, (cos_a, sin_a), off = rotate_affine(angle, h, w)
                 rot0 = rotate_array(blob[None, :, :, None], angle,
@@ -580,8 +618,15 @@ class OCRPipeline:
             pad_h, pad_w = 16 - out_h % 16, 16 - out_w % 16
             hv, wv = out_h + pad_h, out_w + pad_w
             py, px = pad_h // 2, pad_w // 2
+            # the two-pass sampler folds near-90-degree rotations
+            # through a rot90 of the SOURCE, so the bucket must also
+            # hold the transposed source extent for those plans
+            rot90_fold = (self.sampler == 'twopass'
+                          and abs(sin_a) > abs(cos_a))
+            need_h = max(h, hv, w if rot90_fold else 0)
+            need_w = max(w, wv, h if rot90_fold else 0)
             hb, wb = self._line_menu_shape(
-                max(h, hv), max(w, wv), shear_margin=self.band_tables)
+                need_h, need_w, shear_margin=self.band_tables)
             # pathological rotations can exceed the page-sized menu (bbox
             # of a rotated page-diagonal paragraph); clamp rather than
             # compile a diagonal-sized program for a case the generator
@@ -976,7 +1021,7 @@ class OCRPipeline:
         wc = max(self._menu_width(plan['w_valid'])
                  for _, plan in line_plans)
         refs = list(range(len(line_plans)))
-        B = self.DEVICE_BATCH
+        B = self.LINE_DEVICE_BATCH
         params = self.char_model.params
         launches = []
         ni = len(LINE_INT_FIELDS)
@@ -1018,6 +1063,8 @@ class OCRPipeline:
         para = para[:, :, :self.page_shape[2], 0]
 
         with self._track('host_paragraph_plans'):
+            # serial on purpose: scipy's nd_image calls hold the GIL, so
+            # pool-mapping pages was measured slower (236 vs 190 ms)
             plans = [p
                      for page in range(n_pages)
                      for p in self._page_paragraph_plans(page, para[page])]
