@@ -364,14 +364,20 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
     crops = shear_both(crops)
     suspect = jnp.where(axis == 0, sus0, sus1)
     # escalation payload: the CLOSED column-group occupancy profile of
-    # the chosen-axis view, bit-packed — (L, G*C/8) ~ 8-12 KB, vs the
-    # ~70 KB full band masks it replaces (measured: profile-grid CCL
-    # recovers the same merged lines at 1/8 the wire bytes)
+    # the chosen-axis view, row-OR-folded by PROFILE_ROW_DS and
+    # bit-packed — (L/DS, G*C/8) ~ 2-4 KB, vs the ~70 KB full band
+    # masks it replaces.  Bands are >= ~5 px tall and inter-line gaps an
+    # x-height, so 2-px row bins keep the grid-CCL separation; the
+    # profile was the largest slice of the per-launch D2H payload
+    # (8.2 of 13.6 KB/paragraph at L=512).
     L = max(pr0.shape[1], pr1.shape[1])
+    Ld = -(-L // PROFILE_ROW_DS)
 
     def pack(p):
-        p = jnp.pad(p, ((0, 0), (0, L - p.shape[1]), (0, 0), (0, 0)))
-        return p.reshape(B, L, -1)
+        p = jnp.pad(p, ((0, 0), (0, Ld * PROFILE_ROW_DS - p.shape[1]),
+                        (0, 0), (0, 0)))
+        p = p.reshape(B, Ld, PROFILE_ROW_DS, -1).any(axis=2)
+        return p
 
     prof = jnp.where((axis == 0)[:, None, None], pack(pr0), pack(pr1))
     packed_prof = jnp.packbits(prof.astype(jnp.uint8), axis=2)
@@ -413,6 +419,9 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
 MAX_BAND_BLOBS = 48
 #: 1D closing radius on the occupancy vector: fills <= 2-row gaps
 CLOSE_RADIUS = 1
+#: row OR-fold factor of the escalation profile payload (see
+#: _finish_paragraph_stage); the host planner upscales coordinates back
+PROFILE_ROW_DS = 2
 
 # ---------------------------------------------------------------------------
 # Residual-tilt (shear) correction

@@ -837,12 +837,16 @@ class OCRPipeline:
 
         axis: the device-chosen stacking axis; the profile view is the
         sheared bands (axis 0) or their transpose (axis 1), so view
-        dims are (hb, wb) or (wb, hb) of the crop bucket."""
-        from .device_cascade import _group_centers
+        dims are (hb, wb) or (wb, hb) of the crop bucket.  Rows arrive
+        OR-folded by PROFILE_ROW_DS (device_cascade) — CCL runs on the
+        folded grid and coordinates scale back up."""
+        from .device_cascade import PROFILE_ROW_DS, _group_centers
         view_h, view_w = (hb, wb) if axis == 0 else (wb, hb)
+        ds = PROFILE_ROW_DS
+        rows = -(-view_h // ds)
         G, gw, _ = _group_centers(view_w)
         bits = np.unpackbits(np.asarray(prof_bits), axis=1)
-        prof = bits[:view_h].reshape(view_h, G, 2).astype(bool)
+        prof = bits[:rows].reshape(rows, G, 2).astype(bool)
 
         eight = np.ones((3, 3), bool)   # diagonal staircases connect
         stats = []
@@ -856,9 +860,10 @@ class OCRPipeline:
             for blob in range(1, cnt + 1):
                 pts = coords[lab == blob].astype(float)
                 (y0, g0), (y1, g1) = pts.min(axis=0), pts.max(axis=0)
-                box = (slice(int(y0), int(y1) + 1),
+                box = (slice(int(y0) * ds,
+                             min(int(y1 + 1) * ds, view_h)),
                        slice(int(g0) * gw, min(int(g1 + 1) * gw, view_w)))
-                cy = pts[:, 0].mean()
+                cy = pts[:, 0].mean() * ds + (ds - 1) / 2.0
                 cx = pts[:, 1].mean() * gw + (gw - 1) / 2.0
                 if axis == 1:           # view coords -> image coords
                     box = (box[1], box[0])
