@@ -134,3 +134,50 @@ def test_plan_lines_matches_host(seed, rotated):
                 continue
             dev = plans[li, fi]
             assert abs(dev - float(hp[f])) < 1e-3, (li, f, dev, hp[f])
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: fused tail vs the classic tables path
+# ---------------------------------------------------------------------------
+
+def test_fused_pipeline_matches_classic():
+    """The fused tail must decode the SAME text as the classic
+    tables-mode path (pull tables -> host plan -> line stage -> host
+    decode) — same planner, same decode semantics, same crops."""
+    import json
+    import random
+    from univer_ocr_tpu.image_generator import (LayeredImage, random_font,
+                                                random_text)
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    from univer_ocr_tpu.models.datasets import encode_layers
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+
+    random.seed(7)
+    np.random.seed(7)
+    pages = []
+    for _ in range(2):
+        img = LayeredImage(720, 480, (255, 255, 255, 255))
+        while img.paragraphs_added == 0:
+            for _ in range(40):
+                img.add_paragraph(random_text(), random_font(16, 32))
+        img.make_divisible_by(16, 16)
+        layers = encode_layers({'image': img.get_raw()['image'].convert('L')})
+        pages.append(layers['image'].astype(np.float32))
+
+    kw = dict(weights=weights, chunk=2, workers=2, device_cascade=True,
+              precision='highest', collapse_runs=4)
+    classic = OCRPipeline(pages[0].shape, fused_tail=False, **kw)
+    fused = OCRPipeline(pages[0].shape, fused_tail=True, **kw)
+    assert fused.fused_tail and not classic.fused_tail
+
+    expected = classic.ocr_pages(pages)
+    got = fused.ocr_pages(pages)
+    assert got == expected, (got, expected)
+    # the fused path must have decoded most paragraphs on device
+    st = fused.escalation_stats
+    assert st['paragraphs'] > 0

@@ -335,6 +335,18 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                precision=precision)
     if not tables:
         return crops, jnp.packbits(bands.astype(jnp.uint8), axis=2)
+    (crops, tbl, n_blobs, shears, axis, suspect,
+     packed_prof) = tables_state(bands, crops, margin=margin)
+    return crops, pack_tables_payload(tbl, n_blobs, shears, axis,
+                                      suspect, packed_prof)
+
+
+def tables_state(bands, crops, margin=False):
+    """Tables-mode core shared by the classic paragraph stage and the
+    fused tail (models/fused_tail.py): both-axis blob tables + suspect
+    flags + the folded escalation profile, and the crops sheared by the
+    chosen axis's residual tilt.  Returns (crops, tbl, n_blobs, shears,
+    axis, suspect, packed_prof)."""
     # both-axis tables + suspect flags + escalation profiles in ONE
     # group-stats pass per axis — no full-resolution mask is sheared or
     # gathered anywhere in tables mode (BENCH r2->r3: the per-column
@@ -381,8 +393,7 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
 
     prof = jnp.where((axis == 0)[:, None, None], pack(pr0), pack(pr1))
     packed_prof = jnp.packbits(prof.astype(jnp.uint8), axis=2)
-    return crops, pack_tables_payload(tbl, n_blobs, shears, axis,
-                                      suspect, packed_prof)
+    return crops, tbl, n_blobs, shears, axis, suspect, packed_prof
 
 
 # ---------------------------------------------------------------------------
@@ -1356,19 +1367,32 @@ def paragraph_stage_rot_resident(params, mono_stack, para_stack, page_idx,
                                  tables=False, sampler='twopass'):
     """paragraph_stage without the blob upload (deskewed single-component
     bboxes)."""
-    if sampler == 'twopass':
-        crops = twopass_paragraph_crops_resident(
-            mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
-            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
-            out_w, pad_y, pad_x, out_hb, out_wb, precision=precision)
-    else:
-        crops = rotated_paragraph_crops_resident(
-            mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
-            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
-            out_w, pad_y, pad_x, out_hb, out_wb)
+    crops = extract_paragraph_crops_resident(
+        mono_stack, para_stack, page_idx, src_y0, src_x0, src_h, src_w,
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
+        pad_y, pad_x, out_hb, out_wb, precision=precision,
+        sampler=sampler)
     return _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                    precision=precision, tables=tables,
                                    margin=True)
+
+
+def extract_paragraph_crops_resident(mono_stack, para_stack, page_idx,
+                                     src_y0, src_x0, src_h, src_w,
+                                     cos_a, sin_a, off_y, off_x,
+                                     out_y0, out_x0, out_h, out_w,
+                                     pad_y, pad_x, out_hb, out_wb,
+                                     precision=None, sampler='twopass'):
+    """Sampler-dispatching crop extraction (resident-mask variant)."""
+    if sampler == 'twopass':
+        return twopass_paragraph_crops_resident(
+            mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x, out_hb, out_wb, precision=precision)
+    return rotated_paragraph_crops_resident(
+        mono_stack, para_stack, page_idx, src_y0, src_x0, src_h,
+        src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+        out_w, pad_y, pad_x, out_hb, out_wb)
 
 
 def paragraph_stage(params, mono_stack, blob_bits, page_idx,
@@ -1380,19 +1404,31 @@ def paragraph_stage(params, mono_stack, blob_bits, page_idx,
     (two-pass MXU by default, exact bilinear gather on request) +
     masked Line FCN + band thresholding.
     Returns (crops, packed_bands | packed tables payload)."""
-    if sampler == 'twopass':
-        crops = twopass_paragraph_crops(
-            mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
-            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
-            out_w, pad_y, pad_x, precision=precision)
-    else:
-        crops = rotated_paragraph_crops(
-            mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
-            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
-            out_w, pad_y, pad_x)
+    crops = extract_paragraph_crops(
+        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h, src_w,
+        cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h, out_w,
+        pad_y, pad_x, precision=precision, sampler=sampler)
     return _finish_paragraph_stage(params, crops, h_valid, w_valid,
                                    precision=precision, tables=tables,
                                    margin=True)
+
+
+def extract_paragraph_crops(mono_stack, blob_bits, page_idx,
+                            src_y0, src_x0, src_h, src_w,
+                            cos_a, sin_a, off_y, off_x,
+                            out_y0, out_x0, out_h, out_w,
+                            pad_y, pad_x, precision=None,
+                            sampler='twopass'):
+    """Sampler-dispatching crop extraction (uploaded-blob variant)."""
+    if sampler == 'twopass':
+        return twopass_paragraph_crops(
+            mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
+            src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+            out_w, pad_y, pad_x, precision=precision)
+    return rotated_paragraph_crops(
+        mono_stack, blob_bits, page_idx, src_y0, src_x0, src_h,
+        src_w, cos_a, sin_a, off_y, off_x, out_y0, out_x0, out_h,
+        out_w, pad_y, pad_x)
 
 
 def zoomed_line_crops_matmul(crop_stack, para_idx,

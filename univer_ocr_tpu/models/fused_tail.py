@@ -255,3 +255,177 @@ def _plan_lines_single(tbl, nb, axis, char_h=32, char_min_w=8):
     out = jnp.einsum('mf,ml->lf', plans, hit.astype(jnp.float32),
                      precision=lax.Precision.HIGHEST)       # (L, 12)
     return out, jnp.minimum(n_lines, MAX_LINES), n_lines > MAX_LINES
+
+
+def _cross_axis_single(tbl, nb, axis):
+    """Device port of pipeline._cross_axis_escalation for ONE paragraph:
+    True when the non-chosen axis resolves more blobs than the chosen
+    one AND those blobs are separated by gaps above ~0.8x their
+    cross-extent (side-by-side lines the paragraph CCL merged)."""
+    M = tbl.shape[1]
+    big = jnp.float32(1e9)
+    other = 1 - axis
+    t_all = jnp.where(other == 0, tbl[0], tbl[1])           # (M, 7, 2)
+    # run-interval fields of `other` / cross-extent fields
+    lo = jnp.where(other == 0, 1, 3)
+    clo = jnp.where(other == 0, 3, 1)
+    sl = jnp.arange(M, dtype=jnp.int32)
+
+    def chan(ch):
+        t = t_all[:, :, ch]                                 # (M, 7)
+        n_o = jnp.minimum(nb[other, ch], M)
+        n_c = jnp.minimum(nb[axis, ch], M)
+        v = sl < n_o
+        starts = jnp.where(v, t[:, lo], big)
+        order = jnp.argsort(starts, stable=True)
+        ts = t[order]
+        vs = v[order]
+        ivs0, ivs1 = ts[:, lo], ts[:, lo + 1]
+        gaps = ivs0[1:] - ivs1[:-1]
+        heights = ts[:, clo + 1] - ts[:, clo]
+        hmin = jnp.minimum(heights[1:], heights[:-1])
+        pair_ok = vs[1:] & vs[:-1]
+        fire = jnp.any(pair_ok & (gaps > 0.8 * hmin))
+        return (n_o > jnp.maximum(n_c, 1)) & fire
+
+    return chan(0) | chan(1)
+
+
+# ---------------------------------------------------------------------------
+# The fused program: paragraph tail -> line crops -> Char -> glyphs
+# ---------------------------------------------------------------------------
+
+def fused_paragraph_tail(line_params, char_params, crops,
+                         h_valid, w_valid, precision=None, margin=False,
+                         min_run=4, char_head='xla'):
+    """Everything after the paragraph crop, in ONE program.
+
+    crops: (B, HB, WB, 1) f32 paragraph crops (level or deskewed).
+    Returns (crops_sheared, small_payload (NBYTES,) uint8,
+    tables_payload (B, NB) uint8): the small payload carries the
+    decoded glyph ids + line bookkeeping (pack/unpack_fused_payload);
+    the tables payload is the classic escalation payload — the host
+    pulls it ONLY when a suspect flag is set.
+
+    Device-side caps (MAX_LINES / LINE_POOL / CHAR_POOL_WIDTH /
+    MAX_GLYPHS) never lose text silently: any overflow marks the owning
+    paragraph suspect, and suspects re-run through the host escalation
+    path on the same sheared crops.
+    """
+    import jax
+
+    from .device_cascade import _thresholded_bands, tables_state
+    from .device_cascade import pack_tables_payload
+    from .device_cascade import zoomed_line_crops_matmul
+    from .fastpath import char_forward_masked
+
+    B = crops.shape[0]
+    bands = _thresholded_bands(line_params, crops, h_valid, w_valid,
+                               precision=precision)
+    (crops, tbl, n_blobs, shears, axis, suspect,
+     packed_prof) = tables_state(bands, crops, margin=margin)
+
+    plans, n_lines, over_lines = jax.vmap(_plan_lines_single)(
+        tbl, n_blobs, axis)                                 # (B, L, 12)
+    M = tbl.shape[2]
+    over_tbl = jnp.max(n_blobs, axis=(1, 2)) > M
+
+    # launch-level line pool: compact (B, MAX_LINES) slots in order
+    L = MAX_LINES
+    P = LINE_POOL
+    line_valid = (jnp.arange(L)[None, :] < n_lines[:, None]).reshape(-1)
+    pos = jnp.cumsum(line_valid.astype(jnp.int32)) - 1     # (B*L,)
+    in_pool = line_valid & (pos < P)
+    over_pool = (line_valid & (pos >= P)).reshape(B, L).any(axis=1)
+    sel = ((pos[:, None] == jnp.arange(P)[None, :])
+           & in_pool[:, None])                              # (B*L, P)
+    self_f = sel.astype(jnp.float32)
+    pooled = jnp.einsum('kf,kp->pf', plans.reshape(B * L, -1), self_f,
+                        precision=lax.Precision.HIGHEST)    # (P, 12)
+    para_f = jnp.repeat(jnp.arange(B, dtype=jnp.float32), L)
+    para_of = jnp.einsum('k,kp->p', para_f, self_f,
+                         precision=lax.Precision.HIGHEST)
+    pool_used = jnp.any(sel, axis=0)                        # (P,)
+    para_idx = jnp.where(pool_used, para_of.astype(jnp.int32), 0)
+
+    def fld(name, dtype=jnp.float32):
+        v = pooled[:, PLAN_FIELDS.index(name)]
+        return v.astype(dtype)
+
+    w_out = fld('w_out')
+    trunc = pool_used & (w_out > CHAR_POOL_WIDTH)
+    over_trunc = jnp.zeros((B,), bool).at[para_idx].max(
+        trunc, mode='drop')
+    w_out_c = jnp.minimum(w_out, CHAR_POOL_WIDTH).astype(jnp.int32)
+    w_val = jnp.minimum(fld('w_valid'), CHAR_POOL_WIDTH).astype(jnp.int32)
+
+    lines = zoomed_line_crops_matmul(
+        crops, para_idx, fld('ratio_y'), fld('ratio_x'), w_out_c,
+        fld('a_yy', jnp.int32), fld('a_yx', jnp.int32),
+        fld('b_y', jnp.int32), fld('a_xy', jnp.int32),
+        fld('a_xx', jnp.int32), fld('b_x', jnp.int32),
+        32, CHAR_POOL_WIDTH, precision=precision)           # (P,32,W,1)
+
+    logits = char_forward_masked(char_params, lines, w_val,
+                                 precision=precision, head=char_head)
+    ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)     # (P, Wc)
+    cols = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
+    valid = (cols < w_val[:, None]) & pool_used[:, None]
+    glyphs, n_glyphs, over_gl = decode_ids_device(ids, valid, min_run)
+    over_glyph = jnp.zeros((B,), bool).at[para_idx].max(
+        over_gl & pool_used, mode='drop')
+
+    cross = jax.vmap(_cross_axis_single)(tbl, n_blobs, axis)
+    # suspect byte = component bitmask (nonzero -> escalate); the host
+    # counts components in escalation_stats
+    suspect_mask = (suspect.astype(jnp.uint8)
+                    | (cross.astype(jnp.uint8) << 1)
+                    | (over_tbl.astype(jnp.uint8) << 2)
+                    | (over_lines.astype(jnp.uint8) << 3)
+                    | (over_pool.astype(jnp.uint8) << 4)
+                    | (over_trunc.astype(jnp.uint8) << 5)
+                    | (over_glyph.astype(jnp.uint8) << 6))
+    suspect_all = suspect_mask > 0
+
+    small = jnp.concatenate([
+        jnp.clip(glyphs, 0, 255).astype(jnp.uint8).reshape(-1),
+        n_glyphs.astype(jnp.uint8),
+        jnp.where(pool_used, para_idx, 255).astype(jnp.uint8),
+        n_lines.astype(jnp.uint8),
+        suspect_mask,
+    ])
+    tables_payload = pack_tables_payload(tbl, n_blobs, shears, axis,
+                                         suspect_all, packed_prof)
+    return crops, small, tables_payload
+
+
+def unpack_fused_payload(buf, n_paragraphs):
+    """Host inverse of fused_paragraph_tail's small payload.
+
+    Returns (texts: [n_paragraphs][lines-in-reading-order] str,
+             suspect (n_paragraphs,) uint8 component bitmask — nonzero
+             means escalate; bits: merge_suspect, cross_axis, table
+             overflow, line-slot overflow, pool overflow, width
+             truncation, glyph overflow)."""
+    buf = np.asarray(buf)
+    P, G = LINE_POOL, MAX_GLYPHS
+    # the device wrote n_lines/suspect for the FULL launch batch
+    # (including filler slots); real paragraphs are the first
+    # n_paragraphs entries
+    b_dev = (buf.shape[0] - P * G - 2 * P) // 2
+    o = 0
+    glyphs = buf[o:o + P * G].reshape(P, G); o += P * G
+    n_glyphs = buf[o:o + P]; o += P
+    para_of = buf[o:o + P]; o += P + b_dev         # skip n_lines
+    B = n_paragraphs
+    suspect = buf[o:o + B]
+
+    # pool slots were assigned in (paragraph, line-slot) order, so each
+    # paragraph's lines appear in reading order
+    texts = [[] for _ in range(B)]
+    for p in range(P):
+        b = int(para_of[p])
+        if b >= B:
+            continue
+        texts[b].append(glyphs_to_text(glyphs[p], int(n_glyphs[p])))
+    return texts, suspect

@@ -107,7 +107,8 @@ class OCRPipeline:
                  line_bucket=64, char_bucket=64, collapse_runs=False,
                  quantized_transfers=True, mesh=None, use_pallas=None,
                  device_cascade=False, precision='highest',
-                 exact_bands=False, escalation=True, sampler=None):
+                 exact_bands=False, escalation=True, sampler=None,
+                 fused_tail=None):
         self.page_shape = page_shape
         self.chunk = chunk
         self.line_bucket = line_bucket
@@ -148,6 +149,19 @@ class OCRPipeline:
         if sampler is None:
             sampler = 'gather' if exact_bands else 'twopass'
         self.sampler = sampler
+        #: fused tail (models/fused_tail.py): line planning, line crop,
+        #: Char forward and run-length decode all inside the paragraph
+        #: program — the host pulls ~6 KB of glyph ids per launch and
+        #: only pulls the tables payload for device-flagged suspects.
+        #: Requires tables mode and an integer collapse_runs (the device
+        #: decode implements the run-length semantics); bool collapse
+        #: modes and exact_bands stay on the classic path.
+        if fused_tail is None:
+            fused_tail = (self.band_tables
+                          and isinstance(collapse_runs, int)
+                          and not isinstance(collapse_runs, bool)
+                          and collapse_runs >= 1)
+        self.fused_tail = fused_tail and self.band_tables
         if use_pallas is None:
             # Pallas kernels target the TPU memory hierarchy; the XLA path
             # serves CPU runs (tests) where pallas would need interpret mode
@@ -342,6 +356,43 @@ class OCRPipeline:
                 iv['wv'], hb, wb, precision=precision, tables=tables,
                 sampler=sampler)
 
+        if self.fused_tail:
+            from .device_cascade import (extract_paragraph_crops,
+                                         extract_paragraph_crops_resident)
+            from .fused_tail import fused_paragraph_tail
+            min_run = max(int(self.collapse_runs), 1)
+
+            def stage_blob_fused(params2, mono_stack, blob, plan):
+                iv, fv = unpack_paragraph_plan(plan)
+                line_p, char_p = params2
+                crops = extract_paragraph_crops(
+                    mono_stack, blob, iv['page'], iv['y0'], iv['x0'],
+                    iv['h'], iv['w'], fv['cos'], fv['sin'], fv['off_y'],
+                    fv['off_x'], iv['ry0'], iv['rx0'], iv['out_h'],
+                    iv['out_w'], iv['py'], iv['px'],
+                    precision=precision, sampler=sampler)
+                return fused_paragraph_tail(
+                    line_p, char_p, crops, iv['hv'], iv['wv'],
+                    precision=precision, margin=True, min_run=min_run,
+                    char_head=char_head)
+
+            def stage_res_fused(params2, mono_stack, para_stack, plan,
+                                hb, wb):
+                iv, fv = unpack_paragraph_plan(plan)
+                line_p, char_p = params2
+                crops = extract_paragraph_crops_resident(
+                    mono_stack, para_stack, iv['page'], iv['y0'],
+                    iv['x0'], iv['h'], iv['w'], fv['cos'], fv['sin'],
+                    fv['off_y'], fv['off_x'], iv['ry0'], iv['rx0'],
+                    iv['out_h'], iv['out_w'], iv['py'], iv['px'],
+                    hb, wb, precision=precision, sampler=sampler)
+                return fused_paragraph_tail(
+                    line_p, char_p, crops, iv['hv'], iv['wv'],
+                    precision=precision, margin=True, min_run=min_run,
+                    char_head=char_head)
+        else:
+            stage_blob_fused = stage_res_fused = None
+
         if mesh is not None:
             from ..parallel.serving import (shard_cascade_stage,
                                             shard_fn_over_batch)
@@ -355,12 +406,25 @@ class OCRPipeline:
                 stage_rot_blob, mesh, n_replicated=2)
             self._paragraph_stage_rot_res = shard_cascade_stage(
                 stage_rot_res, mesh, n_replicated=3, static_argnums=(4, 5))
+            if self.fused_tail:
+                # the fused tail's glyph compaction is a whole-launch
+                # cumsum — not shardable over the batch; fused serving
+                # under a mesh replicates the stage (the front/Line/Char
+                # heavy compute still shards through the classic path
+                # when escalation fires)
+                self._paragraph_stage_fused = jax.jit(stage_blob_fused)
+                self._paragraph_stage_res_fused = jax.jit(
+                    stage_res_fused, static_argnums=(4, 5))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
             self._paragraph_stage = jax.jit(stage_rot_blob)
             self._paragraph_stage_rot_res = jax.jit(
                 stage_rot_res, static_argnums=(4, 5))
+            if self.fused_tail:
+                self._paragraph_stage_fused = jax.jit(stage_blob_fused)
+                self._paragraph_stage_res_fused = jax.jit(
+                    stage_res_fused, static_argnums=(4, 5))
         W_page_pad = page_shape[2]
 
         def prep_stacks(para_packed):
@@ -722,6 +786,21 @@ class OCRPipeline:
                     for ci, k in enumerate(PARAGRAPH_FLT_FIELDS):
                         mat[bi, ni + ci] = plan[k]
                 pv = jnp.asarray(mat)
+                if self.fused_tail:
+                    params2 = (params, self.char_model.params)
+                    if needs_blob:
+                        crops, small, packed = self._paragraph_stage_fused(
+                            params2, mono_dev, jnp.asarray(blob), pv)
+                    else:
+                        crops, small, packed = (
+                            self._paragraph_stage_res_fused(
+                                params2, mono_dev, para_dev, pv, hb, wb))
+                    # the ~6 KB glyph payload comes home per launch; the
+                    # tables payload stays in HBM unless a suspect flag
+                    # fires (handle_launch pulls it on demand)
+                    small.copy_to_host_async()
+                    launches.append((sel, crops, small, packed))
+                    continue
                 if needs_blob:
                     crops, packed = self._paragraph_stage(
                         params, mono_dev, jnp.asarray(blob), pv)
@@ -738,7 +817,7 @@ class OCRPipeline:
                 # win (14 -> 3 pages/s).
                 for leaf in jax.tree_util.tree_leaves(packed):
                     leaf.copy_to_host_async()
-                launches.append((sel, crops, packed))
+                launches.append((sel, crops, None, packed))
         return launches
 
     @staticmethod
@@ -1078,25 +1157,65 @@ class OCRPipeline:
             launches = self._dispatch_paragraph_stage(
                 (mono_dev, para_dev), plans)
 
-        # all band-mask transfers in flight at once: total wait collapses
-        # to wire time instead of launches x RTT.  (A per-row run-summary
-        # encoding was tried and measured: 56% of nonempty band rows have
-        # 2-15 runs (word gaps) — scripts/band_stats.py — so compact row
-        # encodings lose; the 1-bit packed planes are the exact payload.)
-        band_futures = [self._pull(payload, 'bands')
-                        for _, _, payload in launches]
+        # all band-mask/glyph transfers in flight at once: total wait
+        # collapses to wire time instead of launches x RTT.  (A per-row
+        # run-summary encoding was tried and measured: 56% of nonempty
+        # band rows have 2-15 runs (word gaps) — scripts/band_stats.py —
+        # so compact row encodings lose; the 1-bit planes are exact.)
+        band_futures = [
+            self._pull(small if self.fused_tail else payload,
+                       'fused_glyphs' if self.fused_tail else 'bands')
+            for _, _, small, payload in launches]
 
         texts = {}                      # plan index -> [line text]
 
         def handle_launch(item):
-            """Band wait -> line geometry -> line/Char dispatch for ONE
-            paragraph launch; launches process in parallel so transfer
-            waits, host CCL and dispatches all overlap."""
-            (sel, crops_dev, _payload), fut = item
+            """Payload wait -> (escalation) line geometry -> line/Char
+            dispatch for ONE paragraph launch; launches process in
+            parallel so transfer waits, host CCL and dispatches all
+            overlap."""
+            (sel, crops_dev, _small, _payload), fut = item
             if self.mesh is not None:
                 # crop stack becomes the line stage's shared gather
                 # source: all-gather once per paragraph launch
                 crops_dev = jax.device_put(crops_dev, rep)
+            if self.fused_tail:
+                from .fused_tail import unpack_fused_payload
+                with self._track('pull_fused_glyphs'):
+                    direct_lines, suspects = unpack_fused_payload(
+                        fut.result(), len(sel))
+                st = self.escalation_stats
+                st['paragraphs'] += len(sel)
+                direct = {bi: direct_lines[bi] for bi in range(len(sel))
+                          if not suspects[bi]}
+                flat = []
+                if suspects.any():
+                    # the tables payload stayed in HBM; pull it now for
+                    # the suspect paragraphs' profile re-plan
+                    from .device_cascade import unpack_tables_payload
+                    with self._track('pull_band_tables'):
+                        (tables, n_blobs, _sh, axes, _sus,
+                         profiles) = unpack_tables_payload(
+                            self._pull(_payload, 'bands').result())
+                    with self._track('host_line_plans'):
+                        for bi in range(len(sel)):
+                            if not suspects[bi]:
+                                continue
+                            st['suspect'] += 1
+                            ax = int(axes[bi])
+                            if self.escalation:
+                                hb, wb = plans[sel[bi]]['menu']
+                                lps = self._plan_lines_from_profile(
+                                    profiles[bi], ax, hb, wb)
+                            else:
+                                lps = self._plan_lines_from_tables(
+                                    tables[bi], n_blobs[bi], ax)
+                            flat.extend((bi, lp) for lp in lps)
+                with self._track('dispatch_line_stage'):
+                    refs = self._dispatch_line_stage(crops_dev, flat)
+                id_futures = [(ref_sel, self._pull(ids_dev, 'char_ids'))
+                              for ref_sel, ids_dev in refs]
+                return sel, flat, id_futures, direct
             if self.band_tables:
                 from .device_cascade import unpack_tables_payload
                 with self._track('pull_band_tables'):
@@ -1146,7 +1265,7 @@ class OCRPipeline:
                 refs = self._dispatch_line_stage(crops_dev, flat)
             id_futures = [(ref_sel, self._pull(ids_dev, 'char_ids'))
                           for ref_sel, ids_dev in refs]
-            return sel, flat, id_futures
+            return sel, flat, id_futures, None
 
         char_launches = list(self._pool.map(
             handle_launch, zip(launches, band_futures)))
@@ -1158,7 +1277,7 @@ class OCRPipeline:
         transfers proceed underneath."""
         n_pages, plans, texts, char_launches = state
         results = [[] for _ in range(n_pages)]
-        for sel, flat, id_futures in char_launches:
+        for sel, flat, id_futures, direct in char_launches:
             line_texts = [None] * len(flat)
             for ref_sel, fut in id_futures:
                 with self._track('pull_char_ids'):
@@ -1172,6 +1291,10 @@ class OCRPipeline:
                         row, row != 255, self.collapse_runs).strip()
             cursor = 0
             for bi, i in enumerate(sel):
+                if direct is not None and bi in direct:
+                    # fused tail decoded this paragraph on device
+                    texts[i] = [t.strip() for t in direct[bi]]
+                    continue
                 n_lines = sum(1 for slot, _ in flat if slot == bi)
                 texts[i] = line_texts[cursor:cursor + n_lines]
                 cursor += n_lines
@@ -1231,11 +1354,13 @@ class OCRPipeline:
 
             def para_variant(needs_blob, n):
                 p = dict(plan, needs_blob=needs_blob)
-                for _, crops_dev, payload in (
+                for _, crops_dev, small, payload in (
                         self._dispatch_paragraph_stage(
                             stacks, [p] * n)):
-                    for leaf in jax.tree_util.tree_leaves(payload):
-                        leaf.block_until_ready()
+                    for leaf in jax.tree_util.tree_leaves(
+                            (small, payload)):
+                        if leaf is not None:
+                            leaf.block_until_ready()
                     crops_by_batch[crops_dev.shape[0]] = crops_dev
 
             variants = [(nb, n) for nb in (False, True)
