@@ -157,7 +157,11 @@ class OCRPipeline:
         #: decode implements the run-length semantics); bool collapse
         #: modes and exact_bands stay on the classic path.
         if fused_tail is None:
+            # default ON for single-chip serving; under a mesh the fused
+            # program runs unsharded (the glyph compaction is a whole-
+            # launch cumsum), so sharded serving opts in explicitly
             fused_tail = (self.band_tables
+                          and mesh is None
                           and isinstance(collapse_runs, int)
                           and not isinstance(collapse_runs, bool)
                           and collapse_runs >= 1)
@@ -1186,6 +1190,9 @@ class OCRPipeline:
                         fut.result(), len(sel))
                 st = self.escalation_stats
                 st['paragraphs'] += len(sel)
+                st['cross_axis'] += int(((suspects >> 1) & 1).sum())
+                st['capacity'] = (st.get('capacity', 0)
+                                  + int((suspects >= 4).sum()))
                 direct = {bi: direct_lines[bi] for bi in range(len(sel))
                           if not suspects[bi]}
                 flat = []
