@@ -50,12 +50,17 @@ def main(n_pages=32):
     gen.stop()
 
     chunk = 8
+    collapse = False
     for a in sys.argv[1:]:
         if a.startswith('--chunk='):
             chunk = int(a.split('=')[1])
+        if a.startswith('--collapse='):
+            # --collapse=4 matches the bench/serving decode and turns the
+            # fused tail on (pipeline defaults fused_tail from it)
+            collapse = int(a.split('=')[1])
     weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
     pipeline = OCRPipeline(pages[0].shape, weights=weights, chunk=chunk,
-                           workers=8,
+                           workers=8, collapse_runs=collapse,
                            device_cascade='--host-cascade' not in sys.argv,
                            precision='highest' if '--f32' in sys.argv
                            else 'bf16')

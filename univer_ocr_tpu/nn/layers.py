@@ -28,6 +28,13 @@ from .progress_tracker import BaseProgressTracker, track_method
 from .rng import next_key
 
 
+def _window_preimage(positions, kernel, padding, stride):
+    """Union of the k-wide strided input windows behind `positions`
+    (vectorized set expansion for conv/pool receptive fields)."""
+    offsets = np.arange(kernel, dtype=np.int64)
+    return np.unique(np.asarray(positions)[:, None] * stride - padding + offsets)
+
+
 class Param:
     """Value+grad pair (reference layers.py:10-21), host-side shim.
 
@@ -71,7 +78,6 @@ class BaseLayer:
 
         self.params = {}
         self.is_initialized = True
-        self._receptive_fields = {}
         self.progress_tracker = BaseProgressTracker()
 
     # -- lifecycle ---------------------------------------------------------
@@ -129,13 +135,13 @@ class BaseLayer:
     def changes_receptive_field(self):
         return False
 
-    def _get_receptive_field(self, axis, position, output_id):
-        assert output_id < self.get_outputs_count(), (
-            f'This layer has only {self.get_outputs_count()} outputs')
-        return {0: set([position])}
-
-    def _clear_receptive_fields_info(self):
-        self._receptive_fields = {}
+    def rf_preimage(self, axis, positions):
+        """Map output positions (sorted int array, one spatial axis) to the
+        source positions that influence them.  Returns {input_slot: array},
+        or None meaning the layer is position-identity on every input slot
+        (elementwise ops, concat).  Model.get_receptive_fields composes
+        these along the DAG."""
+        return None
 
     # -- weights I/O (model_weights.json schema, layers.py:120-140) --------
     def get_weights(self):
@@ -199,11 +205,7 @@ class Concat(BaseLayer):
 
     def changes_receptive_field(self):
         return True
-
-    def _get_receptive_field(self, axis, position, output_id):
-        assert output_id < self.get_outputs_count(), (
-            f'This layer has only {self.get_outputs_count()} outputs')
-        return {in_key: set([position]) for in_key in range(self.inputs_count)}
+    # rf_preimage: default (identity on every input slot) is correct
 
 
 class Flatten(BaseLayer):
@@ -219,7 +221,7 @@ class Flatten(BaseLayer):
     def is_fully_convolutional(self):
         return False
 
-    def _get_receptive_field(self, axis, position, output_id):
+    def rf_preimage(self, axis, positions):
         raise NotImplementedError('The method is not supported by Flatten Layer')
 
 
@@ -269,7 +271,7 @@ class FullyConnected(BaseLayer):
     def changes_receptive_field(self):
         return True
 
-    def _get_receptive_field(self, axis, position, output_id):
+    def rf_preimage(self, axis, positions):
         raise NotImplementedError(
             'The method is not supported by Fully Connected Layer')
 
@@ -339,19 +341,9 @@ class Convolutional2D(BaseLayer):
     def changes_receptive_field(self):
         return True
 
-    def _get_receptive_field(self, axis, position, output_id):
-        assert 0 <= axis < 2, f'Convolutional2D has two axis, found {axis}'
-        assert output_id < self.get_outputs_count(), (
-            f'This layer has only {self.get_outputs_count()} outputs')
-        cache_key = (axis, position, output_id)
-        if cache_key in self._receptive_fields:
-            return self._receptive_fields[cache_key]
-        k = self.kernel_size[axis]
-        p = self.padding[axis]
-        s = self.stride[axis]
-        start = position * s - p
-        self._receptive_fields[cache_key] = {0: set(start + ki for ki in range(k))}
-        return self._receptive_fields[cache_key]
+    def rf_preimage(self, axis, positions):
+        return {0: _window_preimage(positions, self.kernel_size[axis],
+                                    self.padding[axis], self.stride[axis])}
 
 
 class Conv2DToBatchedFixedWidthed(BaseLayer):
@@ -394,19 +386,9 @@ class MaxPool2D(BaseLayer):
     def changes_receptive_field(self):
         return True
 
-    def _get_receptive_field(self, axis, position, output_id):
-        assert 0 <= axis < 2, f'MaxPool2D has two axis, found {axis}'
-        assert output_id < self.get_outputs_count(), (
-            f'This layer has only {self.get_outputs_count()} outputs')
-        cache_key = (axis, position, output_id)
-        if cache_key in self._receptive_fields:
-            return self._receptive_fields[cache_key]
-        k = self.kernel_size[axis]
-        p = self.padding[axis]
-        s = self.stride[axis]
-        start = position * s - p
-        self._receptive_fields[cache_key] = {0: set(start + ki for ki in range(k))}
-        return self._receptive_fields[cache_key]
+    def rf_preimage(self, axis, positions):
+        return {0: _window_preimage(positions, self.kernel_size[axis],
+                                    self.padding[axis], self.stride[axis])}
 
 
 class Upsample2D(BaseLayer):
@@ -430,16 +412,8 @@ class Upsample2D(BaseLayer):
     def changes_receptive_field(self):
         return True
 
-    def _get_receptive_field(self, axis, position, output_id):
-        assert 0 <= axis < 2, f'Upsample2D has two axis, found {axis}'
-        assert output_id < self.get_outputs_count(), (
-            f'This layer has only {self.get_outputs_count()} outputs')
-        cache_key = (axis, position, output_id)
-        if cache_key in self._receptive_fields:
-            return self._receptive_fields[cache_key]
-        sf = self.scale_factor[axis]
-        self._receptive_fields[cache_key] = {0: set([position // sf])}
-        return self._receptive_fields[cache_key]
+    def rf_preimage(self, axis, positions):
+        return {0: np.unique(positions // self.scale_factor[axis])}
 
 
 class Noop(BaseLayer):

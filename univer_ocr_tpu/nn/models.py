@@ -75,7 +75,7 @@ class Model(BaseModel):
         self.ravelled_relations = relations
         self.layers = None
         self.relations = None
-        self.relations_backward = {}
+        self._topo = None
         # model inputs may appear as bare int values or inside source
         # lists (the reference only scanned bare ints, models.py:45, which
         # crashes graphs whose inputs are all multi-input edges)
@@ -92,7 +92,6 @@ class Model(BaseModel):
         self.loss = loss
         self.input_grads = {}
         self.is_initialized = False
-        self._receptive_fields = {}
 
         self.opt_state = None
         self._step_cache = {}
@@ -100,124 +99,150 @@ class Model(BaseModel):
         self.unravel_model()
 
     # ------------------------------------------------------------------
-    # Graph flattening (semantics of reference models.py:109-158)
+    # Graph flattening.
+    #
+    # The flat `parent/child` leaf names ARE the checkpoint namespace
+    # (model_weights.json keys), so the naming contract matches the
+    # reference (models.py:109-158); the algorithm is different: a
+    # memoized source-resolution pass — every (namespace, source) entry
+    # resolves lazily to the flat leaf names that produce it, inlining
+    # each submodel exactly once — instead of rewriting one shared
+    # relations dict in place per submodel.
     # ------------------------------------------------------------------
     def unravel_model(self):
-        relations = {dst: make_list_if_not(src)
-                     for dst, src in self.ravelled_relations.items()}
-        for layer_name, layer in self.ravelled_layers.items():
-            if not isinstance(layer, Model):
-                continue
+        flat_layers = {}
+        flat_relations = {}
 
-            layer.unravel_model()
+        def inline(model, prefix, resolve_input):
+            """Register `model`'s leaf layers/relations under `prefix`.
+            `resolve_input(i)` gives the flat sources feeding the model's
+            input slot i.  Returns {out_id: [flat sources]}."""
+            rels = {dst: make_list_if_not(srcs)
+                    for dst, srcs in model.ravelled_relations.items()}
+            inlined = {}
 
-            # Inner relations, renamed into this model's namespace; inner
-            # int sources resolve to the submodel's own input sources.
-            new_layer_relations = {}
-            for dst, srcs in layer.relations.items():
-                new_srcs = []
-                for src in srcs:
-                    if isinstance(src, int):
-                        new_srcs.append(relations[layer_name][src])
-                    else:
-                        new_srcs.append(f'{layer_name}/{src}')
-                dst_name = dst if isinstance(dst, int) else f'{layer_name}/{dst}'
-                new_layer_relations[dst_name] = new_srcs
+            def submodel(name):
+                if name not in inlined:
+                    feeds = rels.get(name, [])
+                    inlined[name] = inline(
+                        model.ravelled_layers[name], f'{prefix}{name}/',
+                        lambda i, feeds=feeds: resolve(feeds[i]))
+                return inlined[name]
 
-            # Outer edges that referenced the submodel now reference the
-            # submodel's output-producing leaves.
-            for dst, srcs in relations.items():
-                new_srcs = []
-                for src in srcs:
-                    if isinstance(src, str) and layer_name == src:
-                        for out_id in range(layer.get_outputs_count()):
-                            new_srcs.extend(new_layer_relations[out_id])
-                    elif (isinstance(src, tuple) and len(src) > 1
-                          and layer_name == src[0]):
-                        for out_id in src[1:]:
-                            new_srcs.extend(new_layer_relations[out_id])
-                    else:
-                        new_srcs.append(src)
-                relations[dst] = new_srcs
+            def resolve(src):
+                # int: model input slot; (name, out_id, ...): selected
+                # submodel outputs; str: a leaf layer (one flat source)
+                # or a submodel (all its outputs, in output order).
+                if isinstance(src, int):
+                    return list(resolve_input(src))
+                if isinstance(src, tuple) and len(src) > 1:
+                    outs = submodel(src[0])
+                    return [s for out_id in src[1:] for s in outs[out_id]]
+                if isinstance(model.ravelled_layers.get(src), Model):
+                    sub = model.ravelled_layers[src]
+                    outs = submodel(src)
+                    return [s for out_id in range(sub.get_outputs_count())
+                            for s in outs[out_id]]
+                return [f'{prefix}{src}']
 
-            for out_id in range(layer.get_outputs_count()):
-                del new_layer_relations[out_id]
-            relations.update(new_layer_relations)
-            del relations[layer_name]
+            for name, layer in model.ravelled_layers.items():
+                if not isinstance(layer, Model):
+                    flat_layers[f'{prefix}{name}'] = layer
 
-        self.layers = self.get_leaf_layers()
-        self.relations = relations
+            outputs = {}
+            for dst, srcs in rels.items():
+                if (not isinstance(dst, int)
+                        and isinstance(model.ravelled_layers.get(dst),
+                                       Model)):
+                    submodel(dst)       # inlined on demand by consumers
+                    continue
+                flat_srcs = [s for src in srcs for s in resolve(src)]
+                if isinstance(dst, int):
+                    outputs[dst] = flat_srcs
+                else:
+                    flat_relations[f'{prefix}{dst}'] = flat_srcs
+            return outputs
 
+        outputs = inline(self, '', lambda i: [i])
+        for out_id, srcs in outputs.items():
+            flat_relations[out_id] = srcs
+
+        self.layers = flat_layers
+        self.relations = flat_relations
+        self._topo = None
         for layer_name, layer in self.layers.items():
             layer._set_name(layer_name)
 
     def get_leaf_layers(self):
-        if self.layers is not None:
-            return self.layers
-        result = {}
-        for layer_name, layer in self.ravelled_layers.items():
-            if isinstance(layer, Model):
-                for name, sub_layer in layer.get_leaf_layers().items():
-                    result[f'{layer_name}/{name}'] = sub_layer
-            else:
-                result[layer_name] = layer
-        return result
+        if self.layers is None:
+            self.unravel_model()
+        return self.layers
 
     def __getitem__(self, key):
         return self.layers[key]
 
     # ------------------------------------------------------------------
-    # Shape inference + lazy parameter init (reference models.py:55-107)
+    # Graph order + shape inference
     # ------------------------------------------------------------------
+    def _topo_order(self):
+        """Producers-first ordering of the nodes reachable from the model
+        outputs (leaf layer names + int output ids), computed once per
+        flattened graph.  Raises RecursionError on cycles — same contract
+        as the reference's recursive shape DFS (models.py:66-101), but
+        iterative, so deep chains can't overflow the Python stack."""
+        if self._topo is not None:
+            return self._topo
+
+        order = []
+        OPEN, DONE = 1, 2
+        state = {}
+        sinks = sorted(k for k in self.relations if isinstance(k, int))
+        stack = [(n, False) for n in reversed(sinks)]
+        while stack:
+            node, expanded = stack.pop()
+            if expanded:
+                state[node] = DONE
+                order.append(node)
+                continue
+            if state.get(node) == DONE:
+                continue
+            if state.get(node) == OPEN:
+                raise RecursionError(
+                    f'Looped on {node} layer, check relations')
+            state[node] = OPEN
+            stack.append((node, True))
+            for src in self.relations[node]:
+                if isinstance(src, int):
+                    continue
+                if state.get(src) == OPEN:
+                    raise RecursionError(
+                        f'Looped on {src} layer, check relations')
+                if state.get(src) != DONE:
+                    stack.append((src, False))
+
+        self._topo = order
+        return order
+
     def initialize(self, input_shapes):
+        """Shape inference + lazy parameter init: one linear pass over the
+        topological order (contract of reference models.py:55-107)."""
         input_shapes = make_list_if_not(input_shapes)
         self.input_shapes = input_shapes
 
-        keys = list(set(self.layers.keys()) | set(self.relations.keys()))
-        output_keys = [k for k in keys if isinstance(k, int)]
+        shapes = {}
+        for node in self._topo_order():
+            node_input_shapes = [
+                input_shapes[src] if isinstance(src, int) else shapes[src]
+                for src in self.relations[node]]
+            if isinstance(node, int):
+                continue
+            layer = self.layers[node]
+            if not layer.is_initialized:
+                layer.initialize(node_input_shapes)
+            out = layer.get_output_shapes(node_input_shapes)
+            shapes[node] = out[0] if isinstance(out, list) else out
 
-        visited = {name: False for name in keys}
-        currently_being_visited = {name: False for name in keys}
-        layer_shapes = {name: None for name in keys}
-
-        def rec_forward_initialize(layer_name):
-            visited[layer_name] = True
-            if currently_being_visited[layer_name]:
-                raise RecursionError(
-                    f'Looped on {layer_name} layer, check relations')
-            if layer_shapes[layer_name] is not None:
-                return layer_shapes[layer_name]
-            currently_being_visited[layer_name] = True
-
-            layer_input_shapes = []
-            for i, src in enumerate(self.relations[layer_name]):
-                if isinstance(src, int):
-                    layer_input_shapes.append(input_shapes[src])
-                else:
-                    tmp = rec_forward_initialize(src)
-                    if isinstance(tmp, list):
-                        tmp = tmp[0]
-                    layer_input_shapes.append(tmp)
-
-                if src not in self.relations_backward:
-                    self.relations_backward[src] = {}
-                self.relations_backward[src][layer_name] = i
-
-            if isinstance(layer_name, int):
-                return
-
-            if not self.layers[layer_name].is_initialized:
-                self.layers[layer_name].initialize(layer_input_shapes)
-            layer_shapes[layer_name] = self.layers[layer_name].get_output_shapes(
-                layer_input_shapes)
-
-            currently_being_visited[layer_name] = False
-            return layer_shapes[layer_name]
-
-        for output in output_keys:
-            rec_forward_initialize(output)
-
-        never_visited = [name for name, flag in visited.items() if not flag]
+        never_visited = [name for name in self.layers if name not in shapes]
         if never_visited:
             print(f'These layers have never been visited: {never_visited}')
 
@@ -464,50 +489,29 @@ class Model(BaseModel):
         return self.forward(X)
 
     # ------------------------------------------------------------------
-    # Shape queries (reference models.py:284-329)
+    # Shape queries (surface of reference models.py:284-329)
     # ------------------------------------------------------------------
     def get_all_output_shapes(self, input_shapes):
+        """([model output shapes], {leaf name: [its output shapes]}) with
+        plain-int tuples, via one pass over the topological order."""
         input_shapes = make_list_if_not(input_shapes)
-        output_shapes = {}
-        all_output_shapes = {}
-
-        def as_int_tuples(shapes):
-            shapes = make_list_if_not(shapes)
-            result = []
-            for shape in shapes:
-                assert isinstance(shape, tuple)
-                result.append(tuple(int(x) for x in shape))
-            return result
-
-        def rec_get_output_shapes(layer_name):
-            if layer_name in output_shapes:
-                return output_shapes[layer_name]
-
-            layer_input_shapes = []
-            for src in self.relations[layer_name]:
-                if isinstance(src, int):
-                    layer_input_shapes.append(input_shapes[src])
-                else:
-                    tmp = rec_get_output_shapes(src)
-                    if isinstance(tmp, list):
-                        tmp = tmp[0]
-                    layer_input_shapes.append(tmp)
-
-            if isinstance(layer_name, int):
-                return layer_input_shapes[0]
-
-            tmp = self.layers[layer_name].get_all_output_shapes(layer_input_shapes)
-            output_shapes[layer_name] = as_int_tuples(tmp[0])
-            all_output_shapes.update({
-                f'{layer_name}/{k}': as_int_tuples(v) for k, v in tmp[1].items()
-            })
-            return output_shapes[layer_name]
-
-        result = []
-        for output in range(self.outputs_count):
-            result.append(rec_get_output_shapes(output))
-        all_output_shapes.update(output_shapes)
-        return as_int_tuples(result), all_output_shapes
+        first_shape = {}    # node -> first output shape, for consumers
+        all_shapes = {}
+        model_outputs = {}
+        for node in self._topo_order():
+            node_inputs = [
+                input_shapes[src] if isinstance(src, int) else first_shape[src]
+                for src in self.relations[node]]
+            if isinstance(node, int):
+                model_outputs[node] = tuple(int(x) for x in node_inputs[0])
+                continue
+            outs = make_list_if_not(
+                self.layers[node].get_output_shapes(node_inputs))
+            outs = [tuple(int(x) for x in s) for s in outs]
+            all_shapes[node] = outs
+            first_shape[node] = outs[0]
+        return ([model_outputs[k] for k in range(self.outputs_count)],
+                all_shapes)
 
     def get_output_shapes(self, input_shapes):
         return self.get_all_output_shapes(input_shapes)[0]
@@ -524,104 +528,71 @@ class Model(BaseModel):
                    for layer in self.layers.values())
 
     # ------------------------------------------------------------------
-    # Receptive fields (reference models.py:340-432)
+    # Receptive fields
     # ------------------------------------------------------------------
     def get_receptive_fields(self):
+        """Receptive field of every RF-changing leaf's output position 0
+        w.r.t. the model inputs, along both spatial axes.
+
+        Same report dict as the reference (models.py:340-374): per input,
+        position count, y/x min-max, and whether the covered set is a solid
+        interval.  Different algorithm: instead of per-(layer, position)
+        recursive set memoization, each target layer gets one
+        reverse-topological frontier sweep in which entire coverage sets
+        travel as sorted numpy position arrays through the layers'
+        vectorized `rf_preimage` maps (layers.py); RF-neutral layers need
+        no graph splicing because their preimage is the identity."""
         assert self.is_initialized, (
             'The model must be initialized before calling this method')
         assert self.is_fully_convolutional(), (
             'This method is only available for Fully Convolutional Networks (FCN)')
 
-        for output_id in range(self.get_outputs_count()):
-            for axis in range(2):
-                self._get_receptive_field(axis, 0, output_id)
-
-        tmp = {
-            layer_name: (
-                self._receptive_fields[layer_name, 0],
-                self._receptive_fields[layer_name, 1])
-            for layer_name in self._receptive_fields['relations'].keys()
-            if not isinstance(layer_name, int)
-        }
+        order = self._topo_order()
         result = {}
-        for layer_name, (rf_y, rf_x) in tmp.items():
-            result[layer_name] = {}
-            for in_id in rf_y.keys():
-                rf1_y, rf1_x = rf_y[in_id], rf_x[in_id]
-                cnt_y, cnt_x = len(rf1_y), len(rf1_x)
-                min_y, max_y = min(rf1_y), max(rf1_y)
-                min_x, max_x = min(rf1_x), max(rf1_x)
-                result[layer_name][f'input {in_id}'] = {
+        for target in order:
+            if isinstance(target, int):
+                continue
+            if not self.layers[target].changes_receptive_field():
+                continue
+            cover_y = self._input_coverage(target, 0, order)
+            cover_x = self._input_coverage(target, 1, order)
+            report = {}
+            for in_id in range(self.inputs_count):
+                pos_y, pos_x = cover_y.get(in_id), cover_x.get(in_id)
+                if pos_y is None or pos_x is None:
+                    continue
+                cnt_y, min_y, max_y = len(pos_y), int(pos_y[0]), int(pos_y[-1])
+                cnt_x, min_x, max_x = len(pos_x), int(pos_x[0]), int(pos_x[-1])
+                report[f'input {in_id}'] = {
                     'cnt': (cnt_y, cnt_x),
                     'y': (min_y, max_y),
                     'x': (min_x, max_x),
                     'is_solid_y': (cnt_y == max_y - min_y + 1),
                     'is_solid_x': (cnt_x == max_x - min_x + 1),
                 }
-
-        self._clear_receptive_fields_info()
+            result[target] = report
         return result
 
-    def _get_receptive_field(self, axis, position, output_id):
-        if (axis, position, output_id) in self._receptive_fields:
-            return self._receptive_fields[axis, position, output_id]
-
-        if 'relations' in self._receptive_fields:
-            relations = self._receptive_fields['relations']
-        else:
-            # Splice out layers that don't change the receptive field.
-            relations = {dst: srcs for dst, srcs in self.relations.items()}
-            for layer_name, layer in self.layers.items():
-                if layer.changes_receptive_field():
-                    continue
-                sources = relations[layer_name]
-                destinations = [dst for dst, src in relations.items()
-                                if layer_name == src or layer_name in src]
-                for dst in destinations:
-                    if relations[dst] == layer_name:
-                        relations[dst] = sources
-                    else:
-                        tmp = []
-                        for src in relations[dst]:
-                            tmp.extend(sources if src == layer_name else [src])
-                        relations[dst] = tmp
-                del relations[layer_name]
-            self._receptive_fields['relations'] = relations
-
-        input_keys = list(range(self.inputs_count))
-        all_input_points = {}
-
-        def rec_get_receptive_field(layer_name, axis, pos, out_id):
-            if (layer_name, axis, pos, out_id) in all_input_points:
-                return all_input_points[layer_name, axis, pos, out_id]
-            if isinstance(layer_name, int):
-                points = {0: set([pos])}
-            else:
-                points = self.layers[layer_name]._get_receptive_field(
-                    axis, pos, out_id)
-            input_points = {in_key: set() for in_key in input_keys}
-            for src_id, src in enumerate(relations[layer_name]):
-                if isinstance(src, int):
-                    input_points[src].update(points[src_id])
-                    continue
-                for point in points[src_id]:
-                    src_input_points = rec_get_receptive_field(src, axis, point, 0)
-                    for in_key, in_points in src_input_points.items():
-                        input_points[in_key].update(in_points)
-            all_input_points[layer_name, axis, pos, out_id] = input_points
-            return all_input_points[layer_name, axis, pos, out_id]
-
-        for layer_name in relations.keys():
-            self._receptive_fields[layer_name, axis] = rec_get_receptive_field(
-                layer_name, axis, 0, 0)
-
-        return rec_get_receptive_field(
-            relations[output_id][0], axis, position, 0)
-
-    def _clear_receptive_fields_info(self):
-        for layer in self.layers.values():
-            layer._clear_receptive_fields_info()
-        self._receptive_fields = {}
+    def _input_coverage(self, target, axis, order):
+        """{input_id: sorted position array} influencing `target`'s output
+        position 0 along `axis`.  Seeds {target: [0]} and sweeps the graph
+        consumers-before-producers, expanding each node's covered positions
+        through its rf_preimage into its sources (union at fan-ins)."""
+        cover = {target: np.zeros(1, dtype=np.int64)}
+        input_cover = {}
+        for node in reversed(order[:order.index(target) + 1]):
+            positions = cover.pop(node, None)
+            if positions is None:
+                continue
+            pre = (None if isinstance(node, int)
+                   else self.layers[node].rf_preimage(axis, positions))
+            for slot, src in enumerate(self.relations[node]):
+                src_positions = positions if pre is None else pre[slot]
+                bucket = input_cover if isinstance(src, int) else cover
+                prev = bucket.get(src)
+                bucket[src] = (src_positions if prev is None
+                               else np.union1d(prev, src_positions))
+        return input_cover
 
     # ------------------------------------------------------------------
     # Weights / params bookkeeping (reference models.py:447-484)
