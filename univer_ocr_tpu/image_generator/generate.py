@@ -1,9 +1,9 @@
 """Synthetic page renderer: text + 17 aligned ground-truth mask layers.
 
-Behavioral port of the reference LayeredImage (image_generator/generate.py:
-12-286): random paragraphs of multi-font RU/EN text drawn onto a page
-together with per-pixel supervision layers — paragraph boxes, three line
-bands (top/center/bottom), per-char mask/full boxes, letter-spacing
+Behavioral counterpart of the reference LayeredImage (image_generator/
+generate.py:12-286): random paragraphs of multi-font RU/EN text drawn onto
+a page together with per-pixel supervision layers — paragraph boxes, three
+line bands (top/center/bottom), per-char mask/full boxes, letter-spacing
 markers, and the 8 bit-plane layers encoding each character's class id.
 
 Layout math is rebuilt on modern Pillow APIs (getbbox/getlength/getmetrics/
@@ -32,66 +32,95 @@ from PIL import Image, ImageDraw
 
 from ..primitives import BITS_COUNT, CHARS, FONTS_LIST, encode_char
 
+# Mask layers are L-mode, full-intensity ink; the page itself is RGBA.
+_MASK_FILL = 255
+_INK = (0, 0, 0, 255)
+
+# Translucent overlay palette for the demo view (web /view_layers).  Layers
+# not listed render in the shared box color.
+_DEMO_BOX = (200, 200, 0, 100)
+_DEMO_FILLS = {
+    'paragraph': (0, 0, 200, 50),
+    'line_top': (200, 0, 0, 100),
+    'line_center': (0, 0, 200, 150),
+    'line_bottom': (0, 200, 0, 100),
+    'letter_spacing': (200, 0, 200, 100),
+}
+_GUIDELINE_COLORS = {
+    'ascent': (200, 0, 200),
+    'M': (0, 200, 0),
+    'x': (0, 200, 200),
+    'baseline': (200, 0, 0),
+    'descent': (0, 0, 200),
+}
+
 
 class LayeredImage:
-    layer_names = [
-        'image',
-        'image_monochrome',
-        'paragraph',
-        'line_top',
-        'line_center',
-        'line_bottom',
-        'letter_spacing',
-        'char_mask_box',
-        'char_full_box',
-        *[f'bit_{i}' for i in range(BITS_COUNT)],
-    ]
-    colors = {
-        'image': (0, 0, 0, 255),
-        **{layer: 255 for layer in layer_names[1:]},
-    }
-    colors_demo = {
-        'image': (0, 0, 0, 255),
-        'paragraph': (0, 0, 200, 50),
-        'line_top': (200, 0, 0, 100),
-        'line_center': (0, 0, 200, 150),
-        'line_bottom': (0, 200, 0, 100),
-        'letter_spacing': (200, 0, 200, 100),
-        'char_mask_box': (200, 200, 0, 100),
-        'char_full_box': (200, 200, 0, 100),
-        **{f'bit_{i}': (200, 200, 0, 100) for i in range(BITS_COUNT)},
-    }
+    # Order and names are the dataset contract (PNG file names, channel
+    # order in encode_layers) — must match the reference exactly.
+    layer_names = ['image', 'image_monochrome', 'paragraph',
+                   'line_top', 'line_center', 'line_bottom',
+                   'letter_spacing', 'char_mask_box', 'char_full_box'] \
+        + [f'bit_{i}' for i in range(BITS_COUNT)]
 
     def __init__(self, width, height, bg_color, use_demo=False):
-        self.width, self.height = width, height
         self.bg_color = bg_color
         self.use_demo = use_demo
-        self.layers = {
-            'image': Image.new('RGBA', (self.width, self.height), self.bg_color),
-            **{
-                name: Image.new('L', (self.width, self.height))
-                for name in self.layer_names[1:]
-            }
-        }
-        self.mask = None
-        self._update_mask()
-        self.draw = {
-            name: ImageDraw.ImageDraw(layer)
-            for name, layer in self.layers.items()
-        }
-        self.demo = {
-            'image': Image.new('RGBA', (self.width, self.height), self.bg_color),
-            'guidelines': Image.new('RGBA', (self.width, self.height)),
-            **{
-                name: Image.new('RGBA', (self.width, self.height))
-                for name in self.layer_names[1:]
-            }
-        } if self.use_demo else {}
-        self.draw_demo = {
-            name: ImageDraw.ImageDraw(layer)
-            for name, layer in self.demo.items()
-        }
         self.paragraphs_added = 0
+
+        def blank(mode, fill=0):
+            return Image.new(mode, (width, height), fill)
+
+        self.layers = {'image': blank('RGBA', bg_color)}
+        self.layers.update((name, blank('L')) for name in self.layer_names[1:])
+
+        self.demo = {}
+        if use_demo:
+            self.demo['image'] = blank('RGBA', bg_color)
+            self.demo['guidelines'] = blank('RGBA')
+            self.demo.update(
+                (name, blank('RGBA')) for name in self.layer_names[1:])
+
+        self._rebind()
+
+    # -- whole-page transforms ---------------------------------------------
+    def _remap(self, fn):
+        """Apply `fn(image, fill) -> image` to every raw and demo layer in
+        lockstep (`fill` = this layer's background), then refresh the draw
+        handles, cached size, and collision mask."""
+        for group in (self.layers, self.demo):
+            for name, image in group.items():
+                fill = self.bg_color if image.mode == 'RGBA' else 0
+                group[name] = fn(image, fill)
+        self._rebind()
+        return self
+
+    def _rebind(self):
+        self.width, self.height = self.layers['image'].size
+        self.draw = {n: ImageDraw.Draw(im) for n, im in self.layers.items()}
+        self.draw_demo = {n: ImageDraw.Draw(im) for n, im in self.demo.items()}
+        self.mask = np.array(self.layers['paragraph'])
+
+    def rotate(self, angle):
+        """Rotate every layer in lockstep, expanding the canvas (same
+        surface as reference :78-88; out-of-frame area takes the layer's
+        own background via fillcolor instead of an RGBA composite)."""
+        return self._remap(lambda im, fill: im.rotate(
+            angle, resample=Image.BILINEAR, expand=True, fillcolor=fill))
+
+    def make_divisible_by(self, x, y):
+        """Pad (centered) so dims are multiples of (x, y).  Like the
+        reference (:90-101) this always adds at least one unit of padding:
+        `x - w % x` is x when already divisible."""
+        pad_x, pad_y = x - self.width % x, y - self.height % y
+        size = (self.width + pad_x, self.height + pad_y)
+
+        def grow(im, fill):
+            canvas = Image.new(im.mode, size, fill)
+            canvas.paste(im, (pad_x // 2, pad_y // 2))
+            return canvas
+
+        return self._remap(grow)
 
     def get_raw(self):
         return self.layers
@@ -99,38 +128,7 @@ class LayeredImage:
     def get_demo(self):
         return self.demo
 
-    def rotate(self, angle):
-        """Rotate every layer in lockstep with expansion (reference :78-88)."""
-        for images_set in [self.layers, self.demo]:
-            for name, image in images_set.items():
-                bg_color = self.bg_color if image.mode == 'RGBA' else 0
-                rot = image.convert('RGBA').rotate(
-                    angle, resample=Image.BILINEAR, expand=True)
-                fff = Image.new('RGBA', rot.size, bg_color)
-                res = Image.composite(rot, fff, rot).convert(image.mode)
-                images_set[name] = res
-        self.width, self.height = self.layers['image'].size
-        return self
-
-    def make_divisible_by(self, x, y):
-        """Pad every layer so dims are multiples of (x, y) (reference :90-101).
-
-        Like the reference, always adds at least one unit of padding
-        (`x - w % x` is x when already divisible), centered.
-        """
-        to_add_x = x - self.width % x
-        to_add_y = y - self.height % y
-        new_size = (self.width + to_add_x, self.height + to_add_y)
-        pos = (to_add_x // 2, to_add_y // 2)
-        for images_set in [self.layers, self.demo]:
-            for name, image in images_set.items():
-                bg_color = self.bg_color if image.mode == 'RGBA' else 0
-                new_image = Image.new(image.mode, new_size, bg_color)
-                new_image.paste(image, pos)
-                images_set[name] = new_image
-        self.width, self.height = self.layers['image'].size
-        return self
-
+    # -- paragraph layout ---------------------------------------------------
     def add_paragraph(self, text, font):
         """Lay out and draw one paragraph (list of text lines) with all
         supervision layers (reference :103-189)."""
@@ -171,8 +169,8 @@ class LayeredImage:
         self.paragraphs_added += 1
         x, y = x + margin, y + margin
 
-        self._paragraph((x, y, x + t_width, y + t_height))
-        self._update_mask()
+        self._rect('paragraph', (x, y, x + t_width, y + t_height))
+        self.mask = np.array(self.layers['paragraph'])
 
         dy = 0
         for line in text:
@@ -207,8 +205,9 @@ class LayeredImage:
                 # ink box of this glyph at its pen position (skip inkless
                 # glyphs like space — their full box still carries the bits)
                 if cb[2] > cb[0] and cb[3] > cb[1]:
-                    self._mask_box(char, (pen_l + cb[0], y_ascent + cb[1],
-                                          pen_l + cb[2], y_ascent + cb[3]))
+                    self._rect('char_mask_box',
+                               (pen_l + cb[0], y_ascent + cb[1],
+                                pen_l + cb[2], y_ascent + cb[3]))
                 if pen_r - w10 > pen_l + w10:
                     self._full_box(char, (pen_l + w10, y_ascent,
                                           pen_r - w10, y_descent))
@@ -217,90 +216,44 @@ class LayeredImage:
 
                 if i == len(line) - 1:
                     continue
-                self._letter_spacing((pen_r - w10, y_ascent,
-                                      pen_r + w10, y_descent))
+                self._rect('letter_spacing', (pen_r - w10, y_ascent,
+                                              pen_r + w10, y_descent))
 
             dy += line_advance
 
-    # -- layer draw helpers (reference :191-256) ---------------------------
-    def _paragraph(self, coords):
-        self.draw['paragraph'].rectangle(coords, fill=self.colors['paragraph'])
+    # -- layer draw primitives ----------------------------------------------
+    def _rect(self, name, coords):
+        """One rectangle on a mask layer, mirrored onto its demo overlay."""
+        self.draw[name].rectangle(coords, fill=_MASK_FILL)
         if self.use_demo:
-            self.draw_demo['paragraph'].rectangle(
-                coords, fill=self.colors_demo['paragraph'])
+            self.draw_demo[name].rectangle(
+                coords, fill=_DEMO_FILLS.get(name, _DEMO_BOX))
 
     def _text_line(self, line, position, font):
-        self.draw['image'].text(position, line, fill=self.colors['image'],
-                                font=font)
-        self.draw['image_monochrome'].text(
-            position, line, fill=self.colors['image_monochrome'], font=font)
+        self.draw['image'].text(position, line, fill=_INK, font=font)
+        self.draw['image_monochrome'].text(position, line, fill=_MASK_FILL,
+                                           font=font)
         if self.use_demo:
-            self.draw_demo['image'].text(
-                position, line, fill=self.colors_demo['image'], font=font)
-
-    def _mask_box(self, char, coords):
-        self.draw['char_mask_box'].rectangle(
-            coords, fill=self.colors['char_mask_box'])
-        if self.use_demo:
-            self.draw_demo['char_mask_box'].rectangle(
-                coords, fill=self.colors_demo['char_mask_box'])
+            self.draw_demo['image'].text(position, line, fill=_INK, font=font)
 
     def _full_box(self, char, coords):
-        bits = encode_char(char)
-        self.draw['char_full_box'].rectangle(
-            coords, fill=self.colors['char_full_box'])
-        for i, bit in enumerate(bits):
-            if bit == '0':
-                continue
-            self.draw[f'bit_{i}'].rectangle(coords, fill=self.colors[f'bit_{i}'])
-        if self.use_demo:
-            self.draw_demo['char_full_box'].rectangle(
-                coords, fill=self.colors_demo['char_full_box'])
-            for i, bit in enumerate(bits):
-                if bit == '0':
-                    continue
-                self.draw_demo[f'bit_{i}'].rectangle(
-                    coords, fill=self.colors_demo[f'bit_{i}'])
-
-    def _letter_spacing(self, coords):
-        self.draw['letter_spacing'].rectangle(
-            coords, fill=self.colors['letter_spacing'])
-        if self.use_demo:
-            self.draw_demo['letter_spacing'].rectangle(
-                coords, fill=self.colors_demo['letter_spacing'])
+        self._rect('char_full_box', coords)
+        for i, bit in enumerate(encode_char(char)):
+            if bit != '0':
+                self._rect(f'bit_{i}', coords)
 
     def _line(self, left, right, y_ascent, y_M, y_x, y_baseline, y_descent):
-        line_top_coords = (left, y_ascent, right, y_baseline)
-        line_center_coords = (left, y_x, right, y_baseline)
-        line_bottom_coords = (left, y_x, right, y_descent)
-
-        self.draw['line_top'].rectangle(
-            line_top_coords, fill=self.colors['line_top'])
-        self.draw['line_center'].rectangle(
-            line_center_coords, fill=self.colors['line_center'])
-        self.draw['line_bottom'].rectangle(
-            line_bottom_coords, fill=self.colors['line_bottom'])
+        self._rect('line_top', (left, y_ascent, right, y_baseline))
+        self._rect('line_center', (left, y_x, right, y_baseline))
+        self._rect('line_bottom', (left, y_x, right, y_descent))
 
         if self.use_demo:
-            def hline(yy, color):
+            rows = {'ascent': y_ascent, 'M': y_M, 'x': y_x,
+                    'baseline': y_baseline, 'descent': y_descent}
+            for key, yy in rows.items():
                 self.draw_demo['guidelines'].line(
-                    (left, yy, right, yy), fill=color, width=1)
-
-            hline(y_ascent, (200, 0, 200))
-            hline(y_M, (0, 200, 0))
-            hline(y_x, (0, 200, 200))
-            hline(y_baseline, (200, 0, 0))
-            hline(y_descent, (0, 0, 200))
-
-            self.draw_demo['line_top'].rectangle(
-                line_top_coords, fill=self.colors_demo['line_top'])
-            self.draw_demo['line_center'].rectangle(
-                line_center_coords, fill=self.colors_demo['line_center'])
-            self.draw_demo['line_bottom'].rectangle(
-                line_bottom_coords, fill=self.colors_demo['line_bottom'])
-
-    def _update_mask(self):
-        self.mask = np.array(self.layers['paragraph'])
+                    (left, yy, right, yy), fill=_GUIDELINE_COLORS[key],
+                    width=1)
 
 
 def random_font(min_size=12, max_size=48):
