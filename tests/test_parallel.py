@@ -182,3 +182,24 @@ def test_sharded_device_cascade_text_matches_single_device(_trained_pages):
     sharded = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
                           device_cascade=True, mesh=mesh)
     assert sharded.ocr_pages(pages) == expected
+
+
+def test_sharded_fused_tail_text_matches_single_device(_trained_pages):
+    """Fused tail under a mesh (the default serving config, VERDICT r3
+    item 6): the stage runs as a shard_map with shard-LOCAL line pools
+    and the host merges the per-shard payload segments — text must equal
+    the single-device fused decode exactly."""
+    from univer_ocr_tpu.models.pipeline import OCRPipeline
+    weights, pages = _trained_pages
+    shape = (1, 496, 736, 1)
+    single = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
+                         device_cascade=True, collapse_runs=4)
+    assert single.fused_tail, 'collapse_runs=4 must default the fused tail on'
+    expected = single.ocr_pages(pages)
+    assert any(any(para) for page in expected for para in page)
+
+    mesh = make_mesh(4, model_parallel=1)
+    sharded = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
+                          device_cascade=True, collapse_runs=4, mesh=mesh)
+    assert sharded.fused_tail, 'fused tail must stay on under a mesh'
+    assert sharded.ocr_pages(pages) == expected

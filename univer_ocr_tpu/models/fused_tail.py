@@ -36,8 +36,11 @@ from ..primitives import CHARS, SIMILAR_CHARS_PAIRS_LIST
 #: lines; more marks the paragraph suspect)
 MAX_LINES = 20
 #: per-launch compacted line-crop pool (measured ~40 real lines per
-#: 16-paragraph launch; overflow marks the tail paragraphs suspect)
-LINE_POOL = 64
+#: 16-paragraph launch, but dense launches overflowed 64 — 22 capacity
+#: escalations per 32-page chunk, each costing a tables pull on the
+#: RTT-bound tunnel; 128 covers the measured tail and the extra pooled
+#: compute is device-cheap); overflow marks the tail paragraphs suspect
+LINE_POOL = 128
 #: fixed Char-stage width of the pooled crops: w_out = w * 32/h tops
 #: out near 2048 for the widest/shortest real lines (w<=768, h>=12)
 CHAR_POOL_WIDTH = 2048
@@ -399,15 +402,42 @@ def fused_paragraph_tail(line_params, char_params, crops,
     return crops, small, tables_payload
 
 
-def unpack_fused_payload(buf, n_paragraphs):
+def fused_payload_nbytes(launch_batch):
+    """Length of fused_paragraph_tail's small payload for one launch of
+    `launch_batch` paragraph slots (the pipeline sizes its per-chunk
+    accumulation buffer from this)."""
+    return LINE_POOL * MAX_GLYPHS + 2 * LINE_POOL + 2 * launch_batch
+
+
+def unpack_fused_payload(buf, n_paragraphs, n_shards=1):
     """Host inverse of fused_paragraph_tail's small payload.
 
     Returns (texts: [n_paragraphs][lines-in-reading-order] str,
              suspect (n_paragraphs,) uint8 component bitmask — nonzero
              means escalate; bits: merge_suspect, cross_axis, table
              overflow, line-slot overflow, pool overflow, width
-             truncation, glyph overflow)."""
+             truncation, glyph overflow).
+
+    Under a mesh the stage runs as a shard_map over the launch batch:
+    each of `n_shards` data shards compacts its OWN line pool and its
+    payload segment concatenates along the buffer (out_specs P('data')).
+    The merge is pure bookkeeping: unpack each segment with its share of
+    the batch and stitch texts/suspects back in batch order."""
     buf = np.asarray(buf)
+    if n_shards > 1:
+        segments = np.split(buf, n_shards)
+        # device slots per shard, from the segment layout
+        b_local = (segments[0].shape[0] - LINE_POOL * MAX_GLYPHS
+                   - 2 * LINE_POOL) // 2
+        texts, suspects = [], []
+        for s, seg in enumerate(segments):
+            n_s = min(max(n_paragraphs - s * b_local, 0), b_local)
+            if n_s == 0:
+                break
+            t, su = unpack_fused_payload(seg, n_s)
+            texts.extend(t)
+            suspects.append(su)
+        return texts, np.concatenate(suspects)
     P, G = LINE_POOL, MAX_GLYPHS
     # the device wrote n_lines/suspect for the FULL launch batch
     # (including filler slots); real paragraphs are the first

@@ -102,6 +102,12 @@ class OCRPipeline:
     #: top/left padding of the device page stack so level-paragraph
     #: dynamic slices never clamp (bottom/right pad by the largest menu)
     STACK_PAD = 16
+    #: fused-tail glyph payloads accumulate into one (SMALL_SLOTS, NB)
+    #: device buffer and come home in ONE pull per wave of launches —
+    #: the tunnel charges ~a round trip per transfer op, so per-launch
+    #: pulls cost ~K RTTs where the coalesced pull costs 1.  32 slots
+    #: cover a 32-page chunk (~16 launches + menu-group tails).
+    SMALL_SLOTS = 32
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
@@ -157,11 +163,12 @@ class OCRPipeline:
         #: decode implements the run-length semantics); bool collapse
         #: modes and exact_bands stay on the classic path.
         if fused_tail is None:
-            # default ON for single-chip serving; under a mesh the fused
-            # program runs unsharded (the glyph compaction is a whole-
-            # launch cumsum), so sharded serving opts in explicitly
+            # default ON whenever the decode semantics allow it; under a
+            # mesh the stage runs as a shard_map over the launch batch —
+            # each data shard compacts its OWN line pool (the cumsum
+            # stays shard-local, no cross-chip collectives) and the host
+            # merges the per-shard payload segments
             fused_tail = (self.band_tables
-                          and mesh is None
                           and isinstance(collapse_runs, int)
                           and not isinstance(collapse_runs, bool)
                           and collapse_runs >= 1)
@@ -411,14 +418,51 @@ class OCRPipeline:
             self._paragraph_stage_rot_res = shard_cascade_stage(
                 stage_rot_res, mesh, n_replicated=3, static_argnums=(4, 5))
             if self.fused_tail:
-                # the fused tail's glyph compaction is a whole-launch
-                # cumsum — not shardable over the batch; fused serving
-                # under a mesh replicates the stage (the front/Line/Char
-                # heavy compute still shards through the classic path
-                # when escalation fires)
-                self._paragraph_stage_fused = jax.jit(stage_blob_fused)
-                self._paragraph_stage_res_fused = jax.jit(
-                    stage_res_fused, static_argnums=(4, 5))
+                # shard the fused tail over the launch batch with
+                # shard-LOCAL line pools: each data shard plans, crops,
+                # classifies and decodes its own B/n paragraphs (the
+                # glyph compaction cumsum never crosses shards); the
+                # small payloads concatenate along the buffer axis and
+                # unpack_fused_payload(n_shards=) merges them
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as PS
+                rep_s, dat_s = PS(), PS('data')
+
+                def shard_fused(stage_fn, n_replicated, static_argnums=()):
+                    cache = {}
+
+                    def wrapped(*args):
+                        statics = tuple(args[i] for i in static_argnums)
+                        if statics not in cache:
+                            dyn = [i for i in range(len(args))
+                                   if i not in static_argnums]
+                            in_specs = tuple(
+                                rep_s if i < n_replicated else dat_s
+                                for i in dyn)
+                            fn = (stage_fn if not statics else
+                                  (lambda *a, _s=statics:
+                                   stage_fn(*a, *_s)))
+                            cache[statics] = jax.jit(shard_map(
+                                fn, mesh=mesh, in_specs=in_specs,
+                                out_specs=(dat_s, dat_s, dat_s),
+                                check_vma=False))
+                        from jax.sharding import NamedSharding
+                        placed = [
+                            jax.device_put(
+                                jax.tree_util.tree_map(jnp.asarray, a),
+                                NamedSharding(
+                                    mesh,
+                                    rep_s if i < n_replicated else dat_s))
+                            for i, a in enumerate(args)
+                            if i not in static_argnums]
+                        return cache[statics](*placed)
+
+                    return wrapped
+
+                self._paragraph_stage_fused = shard_fused(
+                    stage_blob_fused, n_replicated=2)
+                self._paragraph_stage_res_fused = shard_fused(
+                    stage_res_fused, n_replicated=3, static_argnums=(4, 5))
         else:
             self._char_fn = jax.jit(char_ids)
             self._front_resident = jax.jit(front_resident)
@@ -429,6 +473,20 @@ class OCRPipeline:
                 self._paragraph_stage_fused = jax.jit(stage_blob_fused)
                 self._paragraph_stage_res_fused = jax.jit(
                     stage_res_fused, static_argnums=(4, 5))
+        if self.fused_tail:
+            from .fused_tail import fused_payload_nbytes
+            self._fused_shards = (mesh.shape.get('data', 1)
+                                  if mesh is not None else 1)
+            self._fused_nb = self._fused_shards * fused_payload_nbytes(
+                self.DEVICE_BATCH // self._fused_shards)
+
+            def write_small(acc, payload, slot):
+                return jax.lax.dynamic_update_slice(
+                    acc, payload[None, :],
+                    (slot, jnp.zeros((), slot.dtype)))
+
+            self._write_small = jax.jit(write_small, donate_argnums=(0,))
+
         W_page_pad = page_shape[2]
 
         def prep_stacks(para_packed):
@@ -799,10 +857,10 @@ class OCRPipeline:
                         crops, small, packed = (
                             self._paragraph_stage_res_fused(
                                 params2, mono_dev, para_dev, pv, hb, wb))
-                    # the ~6 KB glyph payload comes home per launch; the
+                    # the glyph payload joins the chunk's coalesced
+                    # accumulation buffer (_dispatch_chunk_device); the
                     # tables payload stays in HBM unless a suspect flag
                     # fires (handle_launch pulls it on demand)
-                    small.copy_to_host_async()
                     launches.append((sel, crops, small, packed))
                     continue
                 if needs_blob:
@@ -1166,10 +1224,22 @@ class OCRPipeline:
         # run-summary encoding was tried and measured: 56% of nonempty
         # band rows have 2-15 runs (word gaps) — scripts/band_stats.py —
         # so compact row encodings lose; the 1-bit planes are exact.)
-        band_futures = [
-            self._pull(small if self.fused_tail else payload,
-                       'fused_glyphs' if self.fused_tail else 'bands')
-            for _, _, small, payload in launches]
+        if self.fused_tail:
+            # coalesce the ~4 KB glyph payloads across launches: K tiny
+            # device writes into one (SMALL_SLOTS, NB) buffer, ONE pull
+            # per wave — each per-launch pull would cost a tunnel RTT
+            band_futures = []
+            for start in range(0, len(launches), self.SMALL_SLOTS):
+                wave = launches[start:start + self.SMALL_SLOTS]
+                acc = jnp.zeros((self.SMALL_SLOTS, self._fused_nb),
+                                jnp.uint8)
+                for wi, (_s, _c, small, _p) in enumerate(wave):
+                    acc = self._write_small(acc, small, jnp.int32(wi))
+                fut = self._pull(acc, 'fused_glyphs')
+                band_futures.extend((fut, wi) for wi in range(len(wave)))
+        else:
+            band_futures = [self._pull(payload, 'bands')
+                            for _, _, _small, payload in launches]
 
         texts = {}                      # plan index -> [line text]
 
@@ -1185,14 +1255,22 @@ class OCRPipeline:
                 crops_dev = jax.device_put(crops_dev, rep)
             if self.fused_tail:
                 from .fused_tail import unpack_fused_payload
+                wave_fut, row = fut
                 with self._track('pull_fused_glyphs'):
                     direct_lines, suspects = unpack_fused_payload(
-                        fut.result(), len(sel))
+                        wave_fut.result()[row], len(sel),
+                        n_shards=self._fused_shards)
                 st = self.escalation_stats
                 st['paragraphs'] += len(sel)
                 st['cross_axis'] += int(((suspects >> 1) & 1).sum())
                 st['capacity'] = (st.get('capacity', 0)
                                   + int((suspects >= 4).sum()))
+                # per-component bits (fused_tail.suspect_mask order)
+                for b, comp in enumerate(
+                        ('merge', 'cross', 'table_of', 'lines_of',
+                         'pool_of', 'trunc_of', 'glyph_of')):
+                    st[comp] = (st.get(comp, 0)
+                                + int(((suspects >> b) & 1).sum()))
                 direct = {bi: direct_lines[bi] for bi in range(len(sel))
                           if not suspects[bi]}
                 flat = []
