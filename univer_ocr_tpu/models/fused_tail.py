@@ -35,19 +35,21 @@ from ..primitives import CHARS, SIMILAR_CHARS_PAIRS_LIST
 #: per-paragraph line-slot cap (a generator paragraph holds <= ~15
 #: lines; more marks the paragraph suspect)
 MAX_LINES = 20
-#: per-launch compacted line-crop pool (measured ~40 real lines per
-#: 16-paragraph launch, but dense launches overflowed 64 — 22 capacity
-#: escalations per 32-page chunk, each costing a tables pull on the
-#: RTT-bound tunnel; 128 covers the measured tail and the extra pooled
-#: compute is device-cheap); overflow marks the tail paragraphs suspect
-LINE_POOL = 128
+#: per-launch compacted line-crop pool (measured: ~40 real lines per
+#: 16-paragraph launch, ZERO pool overflows in a 273-paragraph profile
+#: with per-bit counters — the round-3 "capacity" escalations were all
+#: glyph overflows); overflow marks the tail paragraphs suspect
+LINE_POOL = 64
 #: fixed Char-stage width of the pooled crops: w_out = w * 32/h tops
 #: out near 2048 for the widest/shortest real lines (w<=768, h>=12)
 CHAR_POOL_WIDTH = 2048
 
-#: glyph capacity per decoded line (a 736-px line at font >= 12 holds
-#: <= ~60 glyphs); overflow truncates and flags the line's paragraph
-MAX_GLYPHS = 64
+#: glyph capacity per decoded line: random_text wraps at up to 100
+#: columns, so real lines reach ~100 glyphs — 64 overflowed on 15 of
+#: 273 profiled paragraphs (every one a tables pull + line/Char launch
+#: + char-id pull on the RTT-bound tunnel); 128 covers the generator's
+#: maximum.  Overflow truncates and flags the line's paragraph.
+MAX_GLYPHS = 128
 
 
 def _similar_table():

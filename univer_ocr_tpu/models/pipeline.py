@@ -105,9 +105,10 @@ class OCRPipeline:
     #: fused-tail glyph payloads accumulate into one (SMALL_SLOTS, NB)
     #: device buffer and come home in ONE pull per wave of launches —
     #: the tunnel charges ~a round trip per transfer op, so per-launch
-    #: pulls cost ~K RTTs where the coalesced pull costs 1.  32 slots
-    #: cover a 32-page chunk (~16 launches + menu-group tails).
-    SMALL_SLOTS = 32
+    #: pulls cost ~K RTTs where the coalesced pull costs 1.  A wave of
+    #: 8 (~2 waves per 32-page chunk) lets the first wave's host-side
+    #: escalation work overlap the second wave's device compute.
+    SMALL_SLOTS = 8
 
     def __init__(self, page_shape, weights=None, chunk=8, workers=8,
                  line_bucket=64, char_bucket=64, collapse_runs=False,
@@ -1288,7 +1289,16 @@ class OCRPipeline:
                                 continue
                             st['suspect'] += 1
                             ax = int(axes[bi])
-                            if self.escalation:
+                            # geometry suspects (merged lines / cross-
+                            # axis disagreement) and table overflow need
+                            # the 2D-CCL profile re-plan; pure CAPACITY
+                            # overflows (pool/width/glyph caps) have
+                            # intact tables — re-planning from them
+                            # reproduces the classic path's geometry
+                            # exactly (tests/test_fused_tail.py overflow
+                            # equality)
+                            geometry = int(suspects[bi]) & 0b111
+                            if self.escalation and geometry:
                                 hb, wb = plans[sel[bi]]['menu']
                                 lps = self._plan_lines_from_profile(
                                     profiles[bi], ax, hb, wb)
