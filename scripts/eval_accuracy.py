@@ -40,7 +40,7 @@ def canonical(text):
     return ''.join(_CANON.get(c, c) for c in text)
 
 
-def main(n_pages=8, collapse=True, seed=123):
+def main(n_pages=8, collapse=True, seed=123, chunk=8):
     random.seed(seed)
     np.random.seed(seed)
 
@@ -62,7 +62,7 @@ def main(n_pages=8, collapse=True, seed=123):
     # default is the f32 parity mode); --f32 evaluates exact numerics
     precision = 'highest' if '--f32' in sys.argv else 'bf16'
     pipe = OCRPipeline((1, 496, 736, 1), weights=weights,
-                       collapse_runs=collapse,
+                       collapse_runs=collapse, chunk=chunk,
                        device_cascade='--host-cascade' not in sys.argv,
                        precision=precision,
                        escalation='--no-escalation' not in sys.argv)
@@ -204,12 +204,16 @@ def main_gt_crops(n_pages=8, collapse=True, seed=123):
 
 
 if __name__ == '__main__':
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    positional = [a for a in sys.argv[1:] if not a.startswith('--')]
+    n = int(positional[0]) if positional else 8
     collapse = '--no-collapse' not in sys.argv
+    chunk = 8
     for a in sys.argv[1:]:
         if a.startswith('--min-run='):
             collapse = int(a.split('=')[1])
+        if a.startswith('--chunk='):
+            chunk = int(a.split('=')[1])
     if '--gt-crops' in sys.argv:
         main_gt_crops(n, collapse=collapse)
     else:
-        main(n, collapse=collapse)
+        main(n, collapse=collapse, chunk=chunk)

@@ -170,3 +170,23 @@ def test_device_line_thresholding_matches_host():
                                     + direct[:, :, 1].max())
     np.testing.assert_array_equal(got[:, :, 0] > 0, exp0)
     np.testing.assert_array_equal(got[:, :, 1] > 0, exp1)
+
+
+def test_device_cascade_padded_tail_chunk_matches_full(pages):
+    """A tail chunk smaller than `chunk` pads its page stack to the
+    canonical batch (_pad_stack) so the launch menu never recompiles per
+    batch size; the padded path must decode exactly the full-batch text
+    (filler pages yield no paragraphs)."""
+    import json
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+
+    pipe = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                       device_cascade=True, precision='highest')
+    full = pipe.ocr_pages(pages)                 # one 2-page chunk
+    single = [pipe.ocr_pages([p])[0] for p in pages]   # padded 1-page
+    assert single == full
+    assert pipe._pad_cache                       # pad path exercised

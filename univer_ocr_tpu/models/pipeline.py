@@ -523,6 +523,9 @@ class OCRPipeline:
                 line_stage, mesh, n_replicated=2, static_argnums=(3, 4))
         else:
             self._line_stage = jax.jit(line_stage, static_argnums=(3, 4))
+        #: per-batch pad programs (_pad_stack): tail chunks and the
+        #: 1-page serving path canonicalize their stack batch to `chunk`
+        self._pad_cache = {}
         self._pool = ThreadPoolExecutor(max_workers=workers)
         #: dedicated D2H pool: transfers are ~30ms round-trip each over
         #: the tunnel regardless of size, so ALL pulls of a chunk fly
@@ -1188,6 +1191,26 @@ class OCRPipeline:
             launches.append((sel, ids))
         return launches
 
+    def _pad_stack(self, arr):
+        """Canonicalize the page-stack batch to `chunk`: every
+        paragraph-stage program is traced against the STACK shape, so a
+        tail chunk (or the 1-page latency path) would otherwise
+        recompile the entire launch menu per distinct batch size — a
+        ~30s remote compile each on this tunnel.  One tiny per-batch
+        device pad (zeros concat; filler pages are never referenced by
+        any plan) replaces a per-batch program universe."""
+        b = arr.shape[0]
+        if b >= self.chunk:
+            return arr
+        key = (b,) + tuple(arr.shape[1:]) + (str(arr.dtype),)
+        fn = self._pad_cache.get(key)
+        if fn is None:
+            rows = self.chunk - b
+            fn = jax.jit(lambda a: jnp.concatenate(
+                [a, jnp.zeros((rows,) + a.shape[1:], a.dtype)]))
+            self._pad_cache[key] = fn
+        return fn(arr)
+
     def _dispatch_chunk_device(self, n_pages, mono_dev, para_bits):
         """Dispatch phase of one device-resident chunk: paragraph CCL +
         crop/Line launches with CONCURRENT band-mask pulls, then line/Char
@@ -1197,6 +1220,14 @@ class OCRPipeline:
         transfer-pool future and this phase never blocks on a result the
         collect phase can wait for.  Returns state for
         `_collect_chunk_device`."""
+        if para_bits.shape[0] < self.chunk:
+            # host-side bit pad + device-side mono pad keep every
+            # downstream program keyed to the canonical chunk batch
+            para_bits = np.concatenate([
+                para_bits,
+                np.zeros((self.chunk - para_bits.shape[0],)
+                         + para_bits.shape[1:], para_bits.dtype)])
+        mono_dev = self._pad_stack(mono_dev)
         para_dev = self._prep_stacks(jnp.asarray(para_bits))
         if self.mesh is not None:
             # all-gather the page stacks ONCE per chunk: every later
@@ -1429,6 +1460,9 @@ class OCRPipeline:
         slowest program instead of the sum."""
         H, W = self.page_shape[1], self.page_shape[2]
         self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
+        # the 1-page latency path: front + stack pad at batch 1 (every
+        # other program is batch-canonical via _pad_stack)
+        self.ocr_pages([np.zeros(self.page_shape, np.float32)])
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
         para_bits = np.zeros((self.chunk, H, (W + 7) // 8, 1), np.uint8)
         stacks = (mono_dev, self._prep_stacks(jnp.asarray(para_bits)))
