@@ -83,9 +83,11 @@ def main(n_pages=32):
         return wrapper
 
     for name in ('_front_resident', '_front', '_paragraph_stage',
-                 '_line_stage', '_line_masks_fn',
-                 '_char_fn'):
-        setattr(pipeline, name, counted(name, getattr(pipeline, name)))
+                 '_paragraph_stage_rot_res', '_paragraph_stage_fused',
+                 '_paragraph_stage_res_fused', '_line_stage',
+                 '_line_masks_fn', '_char_fn'):
+        if hasattr(pipeline, name):
+            setattr(pipeline, name, counted(name, getattr(pipeline, name)))
 
     pipeline.timers = StageTimers()
     t0 = time.time()
