@@ -76,6 +76,22 @@ def main():
     timed('tables_state (shear sweep + blob tables)', ts_fn, bands, crops)
     _, tbl, n_blobs, _sh, axis, _sus, _prof = st
 
+    ap_fn = jax.jit(partial(dc._axis_pack, margin=True))
+    timed('  _axis_pack rows view', ap_fn, bands)
+    bands_t = jnp.transpose(bands, (0, 2, 1, 3))
+    timed('  _axis_pack cols view (transposed)', ap_fn, bands_t)
+
+    s_row = jnp.full((B,), 0.04, jnp.float32)
+    off = jnp.full((B,), dc._shear_span(WB), jnp.int32)
+    sh_fn = jax.jit(dc._shear_rows)
+    timed('  _shear_rows on f32 crops', sh_fn, crops, s_row, off)
+
+    gs_fn = jax.jit(dc._group_row_stats)
+    timed('  _group_row_stats', gs_fn, bands)
+    prof_any = jnp.any(gs_fn(bands)[0] > 0, axis=3)
+    bs_fn = jax.jit(partial(dc._best_shear_from_prof, W=WB))
+    timed('  _best_shear_from_prof', bs_fn, prof_any)
+
     plans_fn = jax.jit(jax.vmap(ft._plan_lines_single))
     timed('vmap _plan_lines_single', plans_fn, tbl, n_blobs, axis)
 

@@ -308,7 +308,13 @@ class OCRPipeline:
         else:
             self._line_masks_fn = jax.jit(line_masks)
 
+        # measured at the fused-tail shape (64, 32, 2048) on v5e: the
+        # XLA head runs 11.9ms vs the Pallas kernel's 19.1ms (the dense
+        # chain at batch 64 x 2048 columns tiles fine without manual
+        # VMEM staging; scripts/bisect_fused_cost.py) — pallas stays
+        # available for the narrow-width host-cascade buckets
         char_head = 'pallas' if use_pallas else 'xla'
+        fused_char_head = 'xla'
 
         def char_ids(params, x, w_valid):
             # argmax on device: ship (N, W) ids + validity instead of the
@@ -386,7 +392,7 @@ class OCRPipeline:
                 return fused_paragraph_tail(
                     line_p, char_p, crops, iv['hv'], iv['wv'],
                     precision=precision, margin=True, min_run=min_run,
-                    char_head=char_head)
+                    char_head=fused_char_head)
 
             def stage_res_fused(params2, mono_stack, para_stack, plan,
                                 hb, wb):
@@ -401,7 +407,7 @@ class OCRPipeline:
                 return fused_paragraph_tail(
                     line_p, char_p, crops, iv['hv'], iv['wv'],
                     precision=precision, margin=True, min_run=min_run,
-                    char_head=char_head)
+                    char_head=fused_char_head)
         else:
             stage_blob_fused = stage_res_fused = None
 
@@ -508,7 +514,7 @@ class OCRPipeline:
                 precision=precision)
             logits = char_forward_masked(params, lines, w_valid,
                                          precision=precision,
-                                         head=char_head)
+                                         head=fused_char_head)
             ids = jnp.argmax(logits, axis=-1)
             # one uint8 per column over the slow D2H link: 255 flags the
             # columns PredToText skips — explicitly the columns at or past
