@@ -80,6 +80,10 @@ def main():
     timed('  _axis_pack rows view', ap_fn, bands)
     bands_t = jnp.transpose(bands, (0, 2, 1, 3))
     timed('  _axis_pack cols view (transposed)', ap_fn, bands_t)
+    gc_fn = jax.jit(lambda b: dc._axis_pack(
+        None, margin=True, stats=dc._group_col_stats(b),
+        extent=b.shape[1]))
+    timed('  _axis_pack cols view (grouped, no transpose)', gc_fn, bands)
 
     s_row = jnp.full((B,), 0.04, jnp.float32)
     off = jnp.full((B,), dc._shear_span(WB), jnp.int32)
@@ -110,7 +114,7 @@ def main():
           pidx, ry, rx, w_out, one, zero, zero, zero, one, zero, 32, WC)
 
     wval = jnp.full((P,), WC, jnp.int32)
-    for head in ('xla', 'pallas'):
+    for head in ('xla', 'conv', 'pallas'):
         cf = jax.jit(partial(char_forward_masked, precision='bf16',
                              head=head))
         try:

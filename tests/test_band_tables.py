@@ -383,3 +383,20 @@ def test_tables_payload_roundtrip():
     np.testing.assert_array_equal(a2, ax)
     np.testing.assert_array_equal(su2, sus)
     np.testing.assert_array_equal(p2, prof)
+
+
+def test_group_col_stats_match_transposed_row_stats():
+    """_group_col_stats(bands) is bit-identical to
+    _group_row_stats(transpose(bands)) — the transpose-free column-axis
+    stats the paragraph-stage programs use."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.device_cascade import (_group_col_stats,
+                                                      _group_row_stats)
+    rs = np.random.RandomState(3)
+    bands = _random_bands(rs, frag=True)
+    bands[0] |= rs.rand(*bands.shape[1:]) > 0.995
+
+    ref = jax.jit(_group_row_stats)(jnp.transpose(bands, (0, 2, 1, 3)))
+    got = jax.jit(_group_col_stats)(jnp.asarray(bands))
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

@@ -84,3 +84,23 @@ def test_char_forward_masked_pallas_head_matches_xla():
     # error (summation order differs between the fused and XLA paths)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=1e-4)
+
+
+def test_char_forward_masked_conv_head_matches_xla():
+    """char_forward_masked(head='conv') == head='xla': the unfold+dense_1
+    pair re-expressed as a width-8 1D convolution (no gathered-window
+    tensor) must reproduce the gather path's logits."""
+    import numpy as np
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models import make_char
+    from univer_ocr_tpu.models.fastpath import char_forward_masked
+
+    model = make_char((1, 496, 64, 1))
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.rand(3, 32, 64, 1).astype(np.float32))
+    w_valid = jnp.asarray([64, 40, 8], jnp.int32)
+
+    ref = char_forward_masked(model.params, x, w_valid, head='xla')
+    got = char_forward_masked(model.params, x, w_valid, head='conv')
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-4)

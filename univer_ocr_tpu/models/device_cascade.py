@@ -353,7 +353,8 @@ def tables_state(bands, crops, margin=False):
     # take_along_axis shears were ~400 ms of every paragraph launch)
     t0, n0, s0, sus0, pr0 = _axis_pack(bands, margin=margin)
     t1, n1, s1, sus1, pr1 = _axis_pack(
-        jnp.transpose(bands, (0, 2, 1, 3)), margin=margin)
+        None, margin=margin, stats=_group_col_stats(bands),
+        extent=bands.shape[1])
     tbl = jnp.stack([t0, t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]], axis=1)
     n_blobs = jnp.stack([n0, n1], axis=1)
     shears = jnp.stack([s0, s1], axis=1)
@@ -571,12 +572,24 @@ def _best_shear_from_prof(prof, W):
     # past the window edge still counts as occupied
     R = L + 2 * S
     profp = jnp.pad(prof, ((0, 0), (2 * S, 2 * S), (0, 0)))
-    # occ[b, k, r, g] = profp[b, r + shifts[k, g] + S, g]: one gather
-    # instead of a 2S+1-way unrolled select (compile-time matters — this
-    # is inside every paragraph-stage program in the serving menu)
-    idx = (jnp.arange(R, dtype=jnp.int32)[None, :, None]
-           + shifts[:, None, :] + S)                        # (K, R, G)
-    occ = jnp.take_along_axis(profp[:, None], idx[None], axis=2)
+    # occ[b, k, r, g] = profp[b, r + shifts[k, g] + S, g], materialized
+    # as ceil(log2(2S+1)) static-slice selects over the K-tiled profile
+    # (the _log_shift_rows trick): arbitrary-index gathers neither tile
+    # onto the VPU nor stream from HBM, and this sweep runs inside every
+    # paragraph-stage program in the serving menu
+    K = shifts.shape[0]
+    v = (shifts + S).astype(jnp.int32)                      # (K, G)
+    cur = jnp.broadcast_to(profp[:, None],
+                           (B, K) + profp.shape[1:])
+    k = 0
+    while (1 << k) <= 2 * S:
+        step = 1 << k
+        shifted = jnp.concatenate(
+            [cur[:, :, step:], jnp.zeros_like(cur[:, :, :step])], axis=2)
+        bit = ((v >> k) & 1).astype(bool)                   # (K, G)
+        cur = jnp.where(bit[None, :, None, :], shifted, cur)
+        k += 1
+    occ = cur[:, :, :R]
     score = jnp.sum(jnp.any(occ, axis=3), axis=2).astype(jnp.float32)
     score = score + jnp.asarray(
         1e-3 * np.abs(slopes) / MAX_SHEAR, jnp.float32)[None, :]
@@ -890,6 +903,33 @@ def _group_row_stats(bands):
     return cnt, sumx, minx, maxx
 
 
+def _group_col_stats(bands):
+    """Column-axis twin of _group_row_stats WITHOUT materializing the
+    transposed mask: per-(column, row-group) aggregates of the
+    (B, W, H, C) transposed view, computed by reducing row groups on
+    the original (B, H, W, C) layout and transposing the ~12x-smaller
+    grouped result.  Bit-identical to
+    _group_row_stats(transpose(bands, (0, 2, 1, 3)))."""
+    B, H, W, C = bands.shape
+    G, gh, _ = _group_centers(H)
+    Hp = G * gh
+    m = bands
+    if Hp != H:
+        m = jnp.pad(m, ((0, 0), (0, Hp - H), (0, 0), (0, 0)))
+    m = m.reshape(B, G, gh, W, C)
+    ys = jnp.arange(Hp, dtype=jnp.int32).reshape(1, G, gh, 1, 1)
+    mf = m.astype(jnp.float32)
+    cnt = jnp.sum(mf, axis=2)                               # (B,G,W,C)
+    sumy = jnp.sum(mf * ys.astype(jnp.float32), axis=2)
+    miny = jnp.min(jnp.where(m, ys, H), axis=2)
+    maxy = jnp.max(jnp.where(m, ys, -1), axis=2)
+
+    def tr(t):
+        return jnp.transpose(t, (0, 2, 1, 3))               # (B,W,G,C)
+
+    return tr(cnt), tr(sumy), tr(miny), tr(maxy)
+
+
 def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
                      max_blobs=MAX_BAND_BLOBS, margin=False):
     """Both-axis blob tables of (B, H, W, C) boolean band masks, each
@@ -912,8 +952,9 @@ def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
     together, and every blob field is a sum/min/max of per-row
     aggregates.  No full-resolution mask is ever sheared or gathered."""
     t0, n0, s0, _, _ = _axis_pack(bands, close_radius, max_blobs, margin)
-    t1, n1, s1, _, _ = _axis_pack(jnp.transpose(bands, (0, 2, 1, 3)),
-                                  close_radius, max_blobs, margin)
+    t1, n1, s1, _, _ = _axis_pack(None, close_radius, max_blobs, margin,
+                                  stats=_group_col_stats(bands),
+                                  extent=bands.shape[1])
     # un-transpose the column-axis fields back to image coordinates
     t1 = t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]
     return (jnp.stack([t0, t1], axis=1), jnp.stack([n0, n1], axis=1),
@@ -921,16 +962,26 @@ def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
 
 
 def _axis_pack(view, close_radius=CLOSE_RADIUS, max_blobs=MAX_BAND_BLOBS,
-               margin=False):
+               margin=False, stats=None, extent=None):
     """One stacking axis's full tables pipeline from a (B, L, E, C)
     boolean view (E = the run axis' extent): group row stats ->
     best shear -> sheared stats -> blob tables + the sheared
     unclosed/closed profiles the suspect test and the escalation
     payload need.  Returns (table (B,M,7,C), n_blobs (B,C), shear (B,),
-    suspect (B,), closed profile (B,L,G,C))."""
-    B, L, E, C = view.shape
+    suspect (B,), closed profile (B,L,G,C)).
+
+    `stats`/`extent` take precomputed (cnt, sumx, minx, maxx) group
+    stats with the view's run-axis extent — the column-axis caller
+    passes _group_col_stats(bands) so no full-resolution transpose is
+    ever materialized (`view` is then ignored and may be None)."""
+    if stats is None:
+        B, L, E, C = view.shape
+        cnt, sumx, minx, maxx = _group_row_stats(view)
+    else:
+        cnt, sumx, minx, maxx = stats
+        B, L, _, C = cnt.shape
+        E = extent
     S = _shear_span(E)
-    cnt, sumx, minx, maxx = _group_row_stats(view)
     prof_any = jnp.any(cnt > 0, axis=3)                     # (B,L,G)
     s = _best_shear_from_prof(prof_any, E)
     off = (jnp.where(s != 0.0, S, 0) if margin

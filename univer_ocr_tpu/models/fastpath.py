@@ -126,6 +126,28 @@ def char_forward_masked(params, x, w_valid, precision=None, head='xla',
             interpret=interpret)
         return logits
 
+    if head == 'conv':
+        # unfold(8) + dense_1 IS a width-8 1D convolution: output column
+        # j reads conv-stack columns [j-4, j+4) (unfold_to_fixed_width
+        # pads hw=4 left and flattens windows as (dx, c) -> dx*C + c,
+        # exactly an HWIO (1, 8, C, D) kernel).  Expressing it as a conv
+        # skips the (N*W, 8*C) gathered-window tensor (~128 MB at the
+        # fused pool shape) that the gather path materializes in HBM.
+        w1 = params['Char/dense_block/dense_1']['w']
+        cin = x.shape[-1]
+        k1 = w1[:-1].reshape(1, 8, cin, -1)
+        x = jnp.pad(x, ((0, 0), (0, 0), (4, 3), (0, 0)))
+        x = ops.conv2d(x, k1, w1[-1], stride=(1, 1), padding=(0, 0),
+                       precision=precision)                # (N,1,W,D)
+        x = _leaky(x)
+        x = x.reshape(-1, x.shape[-1])                     # (N*W, D)
+        x = ops.dense(x, params['Char/dense_block/dense_2']['w'],
+                      precision=precision)
+        x = _leaky(x)
+        x = ops.dense(x, params['Char/dense_block/dense_3']['w'],
+                      precision=precision)
+        return x.reshape(N, W, -1)
+
     x = ops.unfold_to_fixed_width(x, 8)        # (N*W, 1, 8, 64)
     x = x.reshape(x.shape[0], -1)              # flatten
 

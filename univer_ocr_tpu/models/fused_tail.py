@@ -123,7 +123,10 @@ def decode_ids_device(ids, valid, min_run):
     init = (jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32),
             jnp.full((B,), -1, jnp.int32))
     cols = (jnp.swapaxes(ids_x, 0, 1), jnp.swapaxes(valid_x, 0, 1))
-    _, (emits, out_ids) = lax.scan(step, init, cols)
+    # unroll: each scan iteration is a handful of (B,)-vector ops, so
+    # loop-carry overhead dominates at W=2048; 16 columns per iteration
+    # cuts the trip count 16x at identical math
+    _, (emits, out_ids) = lax.scan(step, init, cols, unroll=16)
     emits = jnp.swapaxes(emits, 0, 1)                   # (B, W+1)
     out_ids = jnp.swapaxes(out_ids, 0, 1)
 
