@@ -400,3 +400,23 @@ def test_group_col_stats_match_transposed_row_stats():
     got = jax.jit(_group_col_stats)(jnp.asarray(bands))
     for r, g in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+def test_group_stats_both_match_single_axis_passes():
+    """_group_stats_both (one channel-major relayout, eight grouped
+    reductions) is bit-identical to the per-axis NHWC passes."""
+    import jax.numpy as jnp
+    from univer_ocr_tpu.models.device_cascade import (_group_col_stats,
+                                                      _group_row_stats,
+                                                      _group_stats_both)
+    rs = np.random.RandomState(5)
+    bands = _random_bands(rs, frag=True)
+    bands[2] |= rs.rand(*bands.shape[1:]) > 0.997
+
+    rows, cols = jax.jit(_group_stats_both)(jnp.asarray(bands))
+    ref_rows = jax.jit(_group_row_stats)(jnp.asarray(bands))
+    ref_cols = jax.jit(_group_col_stats)(jnp.asarray(bands))
+    for r, g in zip(ref_rows, rows):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    for r, g in zip(ref_cols, cols):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))

@@ -143,7 +143,7 @@ def _trained_pages():
         pytest.skip('no trained checkpoint available')
     random.seed(23)
     np.random.seed(23)
-    dataset = GeneratorDataset(2, 720, 480)
+    dataset = GeneratorDataset(2, 416, 272)
     pages = [dataset.get(i, layer_tags=['image'])['image']
              .astype(np.float32) for i in range(2)]
     return weights, pages
@@ -154,7 +154,7 @@ def test_sharded_pipeline_text_matches_single_device(_trained_pages):
     sharded over 'data') must decode exactly the single-device text."""
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     weights, pages = _trained_pages
-    shape = (1, 496, 736, 1)
+    shape = (1, 288, 432, 1)
     single = OCRPipeline(shape, weights=weights, chunk=2, workers=2)
     expected = single.ocr_pages(pages)
     assert any(any(para) for page in expected for para in page), \
@@ -173,7 +173,7 @@ def test_sharded_device_cascade_text_matches_single_device(_trained_pages):
     shard over 'data' with the page/crop stacks as replicated sources."""
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     weights, pages = _trained_pages
-    shape = (1, 496, 736, 1)
+    shape = (1, 288, 432, 1)
     single = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
                          device_cascade=True)
     expected = single.ocr_pages(pages)
@@ -191,7 +191,7 @@ def test_sharded_fused_tail_text_matches_single_device(_trained_pages):
     the single-device fused decode exactly."""
     from univer_ocr_tpu.models.pipeline import OCRPipeline
     weights, pages = _trained_pages
-    shape = (1, 496, 736, 1)
+    shape = (1, 288, 432, 1)
     single = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
                          device_cascade=True, collapse_runs=4)
     assert single.fused_tail, 'collapse_runs=4 must default the fused tail on'

@@ -351,10 +351,11 @@ def tables_state(bands, crops, margin=False):
     # group-stats pass per axis — no full-resolution mask is sheared or
     # gathered anywhere in tables mode (BENCH r2->r3: the per-column
     # take_along_axis shears were ~400 ms of every paragraph launch)
-    t0, n0, s0, sus0, pr0 = _axis_pack(bands, margin=margin)
+    row_stats, col_stats = _group_stats_both(bands)
+    t0, n0, s0, sus0, pr0 = _axis_pack(
+        None, margin=margin, stats=row_stats, extent=bands.shape[2])
     t1, n1, s1, sus1, pr1 = _axis_pack(
-        None, margin=margin, stats=_group_col_stats(bands),
-        extent=bands.shape[1])
+        None, margin=margin, stats=col_stats, extent=bands.shape[1])
     tbl = jnp.stack([t0, t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]], axis=1)
     n_blobs = jnp.stack([n0, n1], axis=1)
     shears = jnp.stack([s0, s1], axis=1)
@@ -930,6 +931,56 @@ def _group_col_stats(bands):
     return tr(cnt), tr(sumy), tr(miny), tr(maxy)
 
 
+def _group_stats_both(bands):
+    """Both axes' group stats from ONE channel-major relayout.
+
+    bands is (B, H, W, C) with C = 2-3 — on TPU the minor dim maps to
+    the 128 lanes, so every full-resolution pass over the NHWC masks
+    runs at ~2 % lane utilization.  Relayout once to (B, C, H, W)
+    (W on lanes) and take all eight reduction passes there; the grouped
+    results are ~12x smaller and transpose back cheaply.
+
+    Bit-identical to (_group_row_stats(bands),
+    _group_col_stats(bands)): counts and index sums are integers below
+    2^24, exact in f32 under any reduction order."""
+    B, H, W, C = bands.shape
+    bt = jnp.transpose(bands, (0, 3, 1, 2))                 # (B,C,H,W)
+
+    def tr(t):                                              # grouped ->
+        return jnp.transpose(t, (0, 2, 3, 1))               # (B,*,G,C)
+
+    # rows view: per-(row, column-group) stats
+    G, gw, _ = _group_centers(W)
+    Wp = G * gw
+    m = bt if Wp == W else jnp.pad(
+        bt, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+    m = m.reshape(B, C, H, G, gw)
+    xs = jnp.arange(Wp, dtype=jnp.int32).reshape(1, 1, 1, G, gw)
+    mf = m.astype(jnp.float32)
+    rows = (tr(jnp.sum(mf, axis=4)),
+            tr(jnp.sum(mf * xs.astype(jnp.float32), axis=4)),
+            tr(jnp.min(jnp.where(m, xs, W), axis=4)),
+            tr(jnp.max(jnp.where(m, xs, -1), axis=4)))
+
+    # cols view: per-(column, row-group) stats of the transposed view
+    Gh, gh, _ = _group_centers(H)
+    Hp = Gh * gh
+    mc = bt if Hp == H else jnp.pad(
+        bt, ((0, 0), (0, 0), (0, Hp - H), (0, 0)))
+    mc = mc.reshape(B, C, Gh, gh, W)
+    ys = jnp.arange(Hp, dtype=jnp.int32).reshape(1, 1, Gh, gh, 1)
+    mcf = mc.astype(jnp.float32)
+
+    def trc(t):                                             # (B,C,G,W)
+        return jnp.transpose(t, (0, 3, 2, 1))               # (B,W,G,C)
+
+    cols = (trc(jnp.sum(mcf, axis=3)),
+            trc(jnp.sum(mcf * ys.astype(jnp.float32), axis=3)),
+            trc(jnp.min(jnp.where(mc, ys, H), axis=3)),
+            trc(jnp.max(jnp.where(mc, ys, -1), axis=3)))
+    return rows, cols
+
+
 def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
                      max_blobs=MAX_BAND_BLOBS, margin=False):
     """Both-axis blob tables of (B, H, W, C) boolean band masks, each
@@ -951,9 +1002,12 @@ def band_blob_tables(bands, close_radius=CLOSE_RADIUS,
     decompose EXACTLY onto the per-group row stats: whole groups shift
     together, and every blob field is a sum/min/max of per-row
     aggregates.  No full-resolution mask is ever sheared or gathered."""
-    t0, n0, s0, _, _ = _axis_pack(bands, close_radius, max_blobs, margin)
+    row_stats, col_stats = _group_stats_both(bands)
+    t0, n0, s0, _, _ = _axis_pack(None, close_radius, max_blobs, margin,
+                                  stats=row_stats,
+                                  extent=bands.shape[2])
     t1, n1, s1, _, _ = _axis_pack(None, close_radius, max_blobs, margin,
-                                  stats=_group_col_stats(bands),
+                                  stats=col_stats,
                                   extent=bands.shape[1])
     # un-transpose the column-axis fields back to image coordinates
     t1 = t1[:, :, (0, 3, 4, 1, 2, 6, 5), :]

@@ -239,7 +239,11 @@ class OCRPipeline:
             # threshold the paragraph mask on device (mean per page, the
             # label_layer rule) and ship one byte per pixel instead of four
             mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
-            p_mask = (p > mean).astype(jnp.uint8)
+            # 1e-6 guard: the host rule (label_layer, np.mean in f64)
+            # leaves a CONSTANT map empty (x > x), but the device's f32
+            # mean can land an epsilon below the constant and flip the
+            # whole page on; real detections sit far above the mean
+            p_mask = ((p - mean) > 1e-6).astype(jnp.uint8)
             if quantized:
                 p_mask = jnp.packbits(p_mask, axis=2)
                 # the monochrome map ships quantized to uint8: D2H is the
@@ -298,7 +302,9 @@ class OCRPipeline:
             mean = (jnp.sum(pred, axis=(1, 2), keepdims=True)
                     / area)                      # pred is 0 outside valid
             mx = jnp.max(pred, axis=(1, 2), keepdims=True)
-            mask = (pred > 0.5 * (mean + mx)) & valid
+            # same f32-mean guard as the paragraph threshold: a constant
+            # map must stay empty, as the host f64 rule leaves it
+            mask = ((pred - 0.5 * (mean + mx)) > 1e-6) & valid
             return jnp.packbits(mask.astype(jnp.uint8), axis=2)
 
         if mesh is not None:
@@ -342,7 +348,9 @@ class OCRPipeline:
             m = mono_fwd(params, x)
             p = para_forward_fn(params, m)
             mean = jnp.mean(p, axis=(1, 2, 3), keepdims=True)
-            p_mask = (p > mean).astype(jnp.uint8)
+            # same f32-mean guard as the transfer front (constant map
+            # stays empty, matching the host f64 rule)
+            p_mask = ((p - mean) > 1e-6).astype(jnp.uint8)
             return m, jnp.packbits(p_mask, axis=2)
 
         tables = self.band_tables
@@ -1339,6 +1347,18 @@ class OCRPipeline:
                                 hb, wb = plans[sel[bi]]['menu']
                                 lps = self._plan_lines_from_profile(
                                     profiles[bi], ax, hb, wb)
+                                # escalation-VALUE telemetry: did the
+                                # 2D-CCL re-plan actually change the
+                                # geometry vs the run-decomposition
+                                # tables?  (if most merge escalations
+                                # are no-ops the suspect test is too
+                                # loose — each fire costs a tables pull
+                                # + line/Char launch on the wire)
+                                tps = self._plan_lines_from_tables(
+                                    tables[bi], n_blobs[bi], ax)
+                                if lps != tps:
+                                    st['merge_changed'] = st.get(
+                                        'merge_changed', 0) + 1
                             else:
                                 lps = self._plan_lines_from_tables(
                                     tables[bi], n_blobs[bi], ax)
