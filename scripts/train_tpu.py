@@ -49,7 +49,19 @@ if dp:
     from jax.sharding import Mesh
     mesh = Mesh(np.array(jax.devices()[:dp]), ('data',))
 
-train_model(use_gpu=True, curriculum=CURRICULUM, batched=batched,
+use_gpu = '--cpu' not in flags
+if not use_gpu:
+    # pin the host CPU backend BEFORE jax initializes the axon TPU
+    # plugin: local XLA:CPU compiles take seconds (every fresh TPU
+    # program is a minutes-long remote compile on this tunnel, and the
+    # batched Paragraph train step reproducibly kills the remote
+    # compile helper) and host training leaves the chip free for
+    # serving/bench work; the zoo is small enough that CPU epochs are
+    # competitive
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+
+train_model(use_gpu=use_gpu, curriculum=CURRICULUM, batched=batched,
             batch=batch, mesh=mesh, train_size=train_size,
             val_size=val_size)
 print('TRAINING DONE')

@@ -159,7 +159,7 @@ def test_device_cascade_tables_mode_end_to_end():
     np.random.seed(21)
     pages, truths = [], []
     for _ in range(2):
-        img = LayeredImage(720, 480, (255, 255, 255, 255))
+        img = LayeredImage(416, 272, (255, 255, 255, 255))
         while img.paragraphs_added == 0:
             for _ in range(100):
                 img.add_paragraph(random_text(), random_font(12, 36))
@@ -171,10 +171,11 @@ def test_device_cascade_tables_mode_end_to_end():
             {'image': raw['image'].convert('L')})['image']
             .astype(np.float32))
 
-    exact = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+    shape = pages[0].shape
+    exact = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
                         device_cascade=True, exact_bands=True,
                         precision='highest', collapse_runs=4)
-    tables = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+    tables = OCRPipeline(shape, weights=weights, chunk=2, workers=2,
                          device_cascade=True, precision='highest',
                          collapse_runs=4)
     got_e = exact.ocr_pages(pages)

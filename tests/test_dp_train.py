@@ -62,6 +62,9 @@ def test_batched_seg_step_equals_accumulated_per_sample():
         g = jax.grad(sample_loss)(params, i)
         grads = g if grads is None else jax.tree_util.tree_map(
             jnp.add, grads, g)
+    # the batched step trains on the weighted MEAN (per-sample gradient
+    # scale); reg is added once per step undivided
+    grads = jax.tree_util.tree_map(lambda g: g / 3.0, grads)
     reg_g = jax.grad(model.regularization_fn)(params)
     grads = jax.tree_util.tree_map(jnp.add, grads, reg_g)
     exp_params, _ = opt.update(params, grads, opt.init_state(params),

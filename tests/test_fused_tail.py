@@ -161,7 +161,7 @@ def test_fused_pipeline_matches_classic():
     np.random.seed(7)
     pages = []
     for _ in range(2):
-        img = LayeredImage(720, 480, (255, 255, 255, 255))
+        img = LayeredImage(416, 272, (255, 255, 255, 255))
         while img.paragraphs_added == 0:
             for _ in range(40):
                 img.add_paragraph(random_text(), random_font(16, 32))
@@ -205,7 +205,7 @@ def test_fused_overflow_escalates_to_classic_text(monkeypatch):
 
     random.seed(11)
     np.random.seed(11)
-    img = LayeredImage(720, 480, (255, 255, 255, 255))
+    img = LayeredImage(416, 272, (255, 255, 255, 255))
     while img.paragraphs_added == 0:
         for _ in range(40):
             img.add_paragraph(random_text(), random_font(16, 32))

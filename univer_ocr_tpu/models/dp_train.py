@@ -145,7 +145,16 @@ def make_batched_seg_step(model, prefix, mesh=None, donate=True):
     def local_train(params, opt_state, lr, X, y, hv, wv, weight):
         def loss_fn(p):
             per = per_sample(p, X, y, hv, wv)
-            return jnp.sum(per * weight) + reg_fn(p) / n_data, per
+            total = jnp.sum(weight)
+            if mesh is not None:
+                total = lax.psum(total, 'data')
+            # weighted MEAN, not sum: one batched step then matches the
+            # per-sample trainer's gradient scale, so the reference
+            # curriculum's lr table transfers (sum semantics diverged the
+            # Line stage to NaN within two epochs at lr=0.0015); reg is
+            # added once per step, as the per-sample trainer does
+            return (jnp.sum(per * weight) / jnp.maximum(total, 1.0)
+                    + reg_fn(p) / n_data), per
 
         (_, per), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -183,7 +192,13 @@ def make_batched_char_step(model, mesh=None, donate=True):
     def local_train(params, opt_state, lr, X, y, wv, weight):
         def loss_fn(p):
             per = per_sample(p, X, y, wv)
-            return jnp.sum(per * weight) + reg_fn(p) / n_data, per
+            total = jnp.sum(weight)
+            if mesh is not None:
+                total = lax.psum(total, 'data')
+            # weighted MEAN (see make_batched_seg_step): per-sample
+            # gradient scale so the curriculum lr table transfers
+            return (jnp.sum(per * weight) / jnp.maximum(total, 1.0)
+                    + reg_fn(p) / n_data), per
 
         (_, per), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)

@@ -580,6 +580,22 @@ class OCRPipeline:
             return out
         return self._xfer.submit(job)
 
+    def _pull_rows(self, arr, tag, slices=4):
+        """Pull a large row-major device array as `slices` CONCURRENT
+        D2H transfers.  The tunnel charges ~an RTT per op but overlaps
+        ops, so splitting the chunk's biggest single payload (the
+        paragraph-mask bits, ~1.5 MB at chunk=32, measured 3.7 MB/s
+        effective as ONE pull) multiplies effective bandwidth.  Returns
+        a future resolving to the reassembled array."""
+        n = arr.shape[0]
+        if slices <= 1 or n < slices:
+            return self._pull(arr, tag)
+        bounds = [(i * n) // slices for i in range(slices + 1)]
+        futs = [self._pull(arr[a:b], tag)
+                for a, b in zip(bounds, bounds[1:])]
+        return self._xfer.submit(
+            lambda: np.concatenate([f.result() for f in futs]))
+
     # ------------------------------------------------------------------
     def _crop_page(self, mono_pred, para_mask):
         """Host: label the (pre-thresholded) paragraph mask, crop+deskew
@@ -1584,7 +1600,7 @@ class OCRPipeline:
                         if pending is None:
                             _, (mono_dev, bits_dev) = dispatch_front(chunk)
                             pending = (chunk, mono_dev,
-                                       self._pull(bits_dev, 'para_bits'))
+                                       self._pull_rows(bits_dev, 'para_bits'))
                         chunk, mono_dev, fut = pending
                         # kick chunk i+1's front before blocking on chunk
                         # i's paragraph-mask pull
@@ -1592,7 +1608,7 @@ class OCRPipeline:
                             nxt = chunks[i + 1]
                             _, (mono_nxt, bits_nxt) = dispatch_front(nxt)
                             pending = (nxt, mono_nxt,
-                                       self._pull(bits_nxt, 'para_bits'))
+                                       self._pull_rows(bits_nxt, 'para_bits'))
                         else:
                             pending = None
                         with self._track('pull_para_bits'):
