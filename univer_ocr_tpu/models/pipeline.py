@@ -314,13 +314,14 @@ class OCRPipeline:
         else:
             self._line_masks_fn = jax.jit(line_masks)
 
-        # measured at the fused-tail shape (64, 32, 2048) on v5e: the
-        # XLA head runs 11.9ms vs the Pallas kernel's 19.1ms (the dense
-        # chain at batch 64 x 2048 columns tiles fine without manual
-        # VMEM staging; scripts/bisect_fused_cost.py) — pallas stays
-        # available for the narrow-width host-cascade buckets
+        # measured at the fused-tail shape (64, 32, 2048) on v5e
+        # (scripts/bisect_fused_cost.py, round 4): conv head 11.2ms vs
+        # XLA-gather head 17.6ms vs Pallas 19.4ms — the width-8-conv
+        # formulation of unfold+dense_1 skips the gathered-window tensor
+        # entirely; pallas stays available for the narrow-width
+        # host-cascade buckets
         char_head = 'pallas' if use_pallas else 'xla'
-        fused_char_head = 'xla'
+        fused_char_head = 'conv'
 
         def char_ids(params, x, w_valid):
             # argmax on device: ship (N, W) ids + validity instead of the
