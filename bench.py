@@ -108,6 +108,8 @@ def main(n_pages=32, warmup=2):
         lat.append(time.time() - t0)
     p50_ms = sorted(lat)[len(lat) // 2] * 1e3
     log(f'p50 single-page latency: {p50_ms:.0f}ms')
+    if getattr(pipeline, 'escalation_stats', None):
+        log('escalation stats:', dict(pipeline.escalation_stats))
 
     # The reference publishes no numbers (BASELINE.md); the measured
     # baseline is the same cascade + checkpoint on host CPU via
