@@ -89,15 +89,25 @@ def main(n_pages=32, warmup=2):
     log(f'warmup took {time.time() - t0:.1f}s')
 
     # ---- timed run ------------------------------------------------------
-    t0 = time.time()
-    texts = pipeline.ocr_pages(pages[warmup:warmup + n_pages])
-    elapsed = time.time() - t0
-    n_chars = sum(len(line) for text in texts
-                  for para in text for line in para)
+    # 3 repetitions, median: the tunneled link's per-run wire variance is
+    # ~2x on a single 32-page chunk (measured 13.6-26.9 pages/s on
+    # identical code within minutes), so one draw is a lottery; the
+    # median over three is the steady-state number
+    reps = []
+    for r in range(3):
+        t0 = time.time()
+        texts = pipeline.ocr_pages(pages[warmup:warmup + n_pages])
+        elapsed = time.time() - t0
+        reps.append(elapsed)
+        n_chars = sum(len(line) for text in texts
+                      for para in text for line in para)
+        log(f'rep {r + 1}: {n_pages} pages in {elapsed:.2f}s -> '
+            f'{n_pages / elapsed:.2f} pages/s; {n_chars} chars decoded')
+    elapsed = sorted(reps)[1]
 
     pages_per_sec = n_pages / elapsed
-    log(f'{n_pages} pages in {elapsed:.2f}s -> {pages_per_sec:.2f} pages/s; '
-        f'{n_chars} chars decoded')
+    log(f'median: {n_pages} pages in {elapsed:.2f}s -> '
+        f'{pages_per_sec:.2f} pages/s')
 
     # p50 single-page latency (BASELINE.json tracked metric): one page
     # through the full cascade, nothing to batch against
