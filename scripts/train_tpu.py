@@ -2,13 +2,17 @@
 
     python scripts/train_tpu.py MONO PARA LINE CHAR [ALL] [--batched]
         [--batch=N] [--dp=N] [--train-size=N] [--val-size=N]
+        [--predicted] [--eval-gate]
 
 --batched routes the single-model stages through the batched trainer
 (models/dp_train.py): host CV runs once per stage, epochs are a handful
 of fixed-shape weighted-batch launches.  --dp=N additionally shards each
 batch over an N-device 'data' mesh (requires N visible devices; use
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu for
-a virtual mesh).
+a virtual mesh).  --predicted materializes Line/Char samples from the
+serving crop distribution (predicted masks in, GT labels out).
+--eval-gate gates every checkpoint overwrite on end-to-end decoded-text
+accuracy (models/evaluation.py).
 """
 import os
 import sys
@@ -63,5 +67,6 @@ if not use_gpu:
 
 train_model(use_gpu=use_gpu, curriculum=CURRICULUM, batched=batched,
             batch=batch, mesh=mesh, train_size=train_size,
-            val_size=val_size)
+            val_size=val_size, predicted='--predicted' in flags,
+            eval_gate='--eval-gate' in flags)
 print('TRAINING DONE')

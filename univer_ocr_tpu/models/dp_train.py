@@ -107,6 +107,133 @@ def collect_stage_samples(mode, dataset, workers=8):
             for page in per_page for x, y in page]
 
 
+def collect_stage_samples_predicted(mode, dataset, weights, workers=8,
+                                    input_shape=(1, 496, 736, 1),
+                                    chunk=8, precision='bf16', log=print,
+                                    pipeline=None):
+    """Serving-distribution stage samples: predicted inputs, GT labels.
+
+    Round 4 measured that GT-geometry crops REGRESS end-to-end accuracy
+    (BASELINE.md round 4): serving feeds Line/Char crops made from the
+    PREDICTED Monochrome/Paragraph masks, whose geometry (threshold
+    bleed, bbox jitter, deskew residual) differs systematically from
+    ground truth.  This builder runs the CURRENT checkpoint's upstream
+    models over the corpus once (through the serving OCRPipeline's own
+    front/Line programs and host planners), crops the PREDICTED
+    monochrome map with the predicted plans, and labels from the GT
+    layers re-cropped with the SAME plans — predicted inputs, exact
+    targets (docs/ARCHITECTURE.md round-5 design note).
+
+    Covers TRAIN_LINE (X = predicted-blob crop of the predicted mono
+    map, y = GT line bands under the same crop) and TRAIN_CHAR (X =
+    predicted-line extract of that crop, y = GT bit planes through the
+    same line plan, majority-voted per column).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..interpreter.interpreter import label_layer as _label
+    from .model import make_divisible_by
+    from .pipeline import OCRPipeline
+
+    if mode not in (Modes.TRAIN_LINE, Modes.TRAIN_CHAR):
+        raise ValueError(f'predicted-crop sampling covers Line/Char, '
+                         f'not {mode}')
+    if pipeline is None:
+        pipeline = OCRPipeline(input_shape, weights=weights, chunk=chunk,
+                               workers=workers, precision=precision)
+    gt_tag = 'line' if mode is Modes.TRAIN_LINE else 'char'
+
+    # front (Monochrome + Paragraph) over the corpus, through the
+    # serving program: uint8 upload, device-thresholded paragraph mask,
+    # u8-quantized monochrome map — the exact serving distribution
+    pages = [dataset.get(i, layer_tags=['image', gt_tag])
+             for i in range(len(dataset))]
+    mono_pred = []
+    para_mask = []
+    H, W = input_shape[1], input_shape[2]
+    for start in range(0, len(pages), chunk):
+        batch_pages = pages[start:start + chunk]
+        batch = np.zeros((len(batch_pages), H, W, 1), np.uint8)
+        for bi, page in enumerate(batch_pages):
+            img = page['image']
+            batch[bi, :img.shape[1], :img.shape[2], :] = np.round(
+                img[0] * 255.0).astype(np.uint8)
+        m, p = pipeline._front(pipeline.front_params, jnp.asarray(batch))
+        m = np.asarray(m)
+        p = np.asarray(p)
+        if pipeline.quantized_transfers:
+            m = m.astype(np.float32) / 255.0
+            p = np.unpackbits(p, axis=2)[:, :, :m.shape[2], :]
+        for bi, page in enumerate(batch_pages):
+            h, w = page['image'].shape[1], page['image'].shape[2]
+            mono_pred.append(m[bi:bi + 1, :h, :w, :])
+            para_mask.append(p[bi:bi + 1, :h, :w, :])
+
+    # predicted paragraph blobs -> deskewed crops of [pred mono, GT]
+    skipped = [0]
+
+    def page_crops(i):
+        crops = []
+        for blob in _label(para_mask[i].astype(np.float32)):
+            try:
+                mono_c, gt_c = crop_and_rotate_single_paragraph(
+                    blob, [mono_pred[i], pages[i][gt_tag]])
+            except (IndexError, ValueError, UnboundLocalError):
+                skipped[0] += 1
+                continue
+            crops.append((mono_c, gt_c))
+        return crops
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        crops_per_page = list(pool.map(page_crops, range(len(pages))))
+    flat = [c for page in crops_per_page for c in page]
+
+    if mode is Modes.TRAIN_LINE:
+        if skipped[0]:
+            log(f'    [predicted-crops] skipped {skipped[0]} degenerate '
+                f'paragraph blobs')
+        return [(np.asarray(x, np.float32), np.asarray(y, np.float32))
+                for x, y in flat]
+
+    # TRAIN_CHAR: the line geometry comes from the CURRENT Line model's
+    # prediction over each predicted crop (serving feeds Char through
+    # the predicted line plans).  /16 pad both the input and the GT
+    # planes so the planned bboxes index the same frame (_crop_page).
+    padded = [(make_divisible_by(x, 16, 16), make_divisible_by(y, 16, 16))
+              for x, y in flat]
+    line_preds = pipeline._run_line_batched([x for x, _ in padded])
+
+    def crop_samples(k):
+        mono_c, char_c = padded[k]
+        out = []
+        try:
+            bboxes, rotation = plan_paragraph_lines(
+                line_preds[k],
+                thresholded_input=pipeline.quantized_transfers)
+        except (IndexError, ValueError, UnboundLocalError):
+            skipped[0] += 1
+            return out
+        for bbox in bboxes:
+            x = extract_line(mono_c, bbox, rotation,
+                             CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
+            bits = extract_line(char_c, bbox, rotation,
+                                CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
+            y = label_char_line(bits)
+            if not y.any():
+                skipped[0] += 1      # hallucinated line: no GT chars
+                continue
+            out.append((np.asarray(x, np.float32),
+                        np.asarray(y, np.float32)))
+        return out
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        per_crop = list(pool.map(crop_samples, range(len(padded))))
+    if skipped[0]:
+        log(f'    [predicted-crops] skipped {skipped[0]} degenerate '
+            f'blobs/label-empty lines')
+    return [s for crop in per_crop for s in crop]
+
+
 # ---------------------------------------------------------------------------
 # Batched steps
 # ---------------------------------------------------------------------------
@@ -328,12 +455,19 @@ _STAGE_MODEL = {
 def train_stage_batched(mode, train_samples, val_samples, weights,
                         epochs, lr, lr_step, batch=16, mesh=None,
                         input_shape=(1, 496, 736, 1), checkpoint_path=None,
-                        log=print, seed=0):
+                        log=print, seed=0, eval_gate=None):
     """Train one curriculum stage on materialized samples.
 
     Keeps the reference trainer's protections: per-epoch NaN detection
     with weight rollback + lr decay (reference trainer.py:258-272) and
     save-best-on-validation via the merge-saving checkpoint writer.
+
+    With `eval_gate` (evaluation.make_eval_gate), per-epoch checkpoint
+    writes are withheld; the stage's best-by-val params are offered to
+    the gate once at stage end and the checkpoint is only overwritten on
+    approval — stage-local val loss is proven non-predictive of
+    end-to-end quality (BASELINE.md rounds 3-4), so a regressing stage
+    must not be able to replace the committed checkpoint.
     Returns (model, best_val_loss).
     """
     from ..nn.optimizers import Adam
@@ -405,7 +539,7 @@ def train_stage_batched(mode, train_samples, val_samples, weights,
         if val_loss < best_val:
             best_val = val_loss
             best_params = snapshot
-            if checkpoint_path is not None:
+            if checkpoint_path is not None and eval_gate is None:
                 model.params = jax.tree_util.tree_map(jnp.asarray,
                                                       best_params)
                 save_weights({name: model}, checkpoint_path)
@@ -413,16 +547,32 @@ def train_stage_batched(mode, train_samples, val_samples, weights,
         epoch += 1
 
     model.params = jax.tree_util.tree_map(jnp.asarray, best_params)
+    if eval_gate is not None and checkpoint_path is not None:
+        ok, score, incumbent = eval_gate({name: model})
+        if ok:
+            save_weights({name: model}, checkpoint_path)
+            log(f'[{name}] gate approved ({score:.4f} >= '
+                f'{incumbent:.4f}); checkpoint updated')
+        else:
+            log(f'[{name}] gate REJECTED ({score:.4f} < '
+                f'{incumbent:.4f}); checkpoint kept')
     return model, best_val
 
 
 def train_model_batched(curriculum, use_gpu=True, batch=16, mesh=None,
                         train_size=50, val_size=5, seed=0, log=print,
-                        checkpoint_path=None):
+                        checkpoint_path=None, predicted=False,
+                        eval_gate=None):
     """Run the batched stages of a curriculum (Monochrome / Paragraph /
     Line / Char; TRAIN_ALL joint adaptation stays on the per-sample
     ModelSystem path — its inputs depend on the evolving upstream models,
-    so there is nothing to materialize once)."""
+    so there is nothing to materialize once).
+
+    `predicted=True` materializes Line/Char samples from the serving
+    crop distribution (collect_stage_samples_predicted), re-running the
+    upstream forward at every stage start so stages compose (the Char
+    stage sees the just-trained Line model's plans).  `eval_gate` gates
+    checkpoint overwrites on end-to-end accuracy (make_eval_gate)."""
     import json
 
     from ..nn.backend import DB
@@ -449,13 +599,24 @@ def train_model_batched(curriculum, use_gpu=True, batch=16, mesh=None,
             weights = {}
         train_ds = RandomSelectDataset(train_size, train_dataset())
         val_ds = RandomSelectDataset(val_size, validation_dataset())
-        log(f'=== batched stage {mode.name}: materializing samples...')
+        use_predicted = (predicted
+                         and mode in (Modes.TRAIN_LINE, Modes.TRAIN_CHAR)
+                         and weights)
+        log(f'=== batched stage {mode.name}'
+            f'{" (predicted crops)" if use_predicted else ""}: '
+            f'materializing samples...')
         t0 = time.time()
-        train_samples = collect_stage_samples(mode, train_ds)
-        val_samples = collect_stage_samples(mode, val_ds)
+        if use_predicted:
+            train_samples = collect_stage_samples_predicted(
+                mode, train_ds, weights, log=log)
+            val_samples = collect_stage_samples_predicted(
+                mode, val_ds, weights, log=log)
+        else:
+            train_samples = collect_stage_samples(mode, train_ds)
+            val_samples = collect_stage_samples(mode, val_ds)
         log(f'    built {len(train_samples)}+{len(val_samples)} samples '
             f'in {time.time() - t0:.1f}s')
         train_stage_batched(mode, train_samples, val_samples, weights,
                             epochs, lr, lr_step, batch=batch, mesh=mesh,
                             checkpoint_path=checkpoint_path, log=log,
-                            seed=seed)
+                            seed=seed, eval_gate=eval_gate)

@@ -121,7 +121,7 @@ CURRICULUM = [
 def train_model(use_gpu=False, show_progress_bar=False,
                 save_train_progress=False, curriculum=None,
                 train_size=50, val_size=5, batched=False, mesh=None,
-                batch=16):
+                batch=16, predicted=False, eval_gate=False):
     """Run the staged curriculum (reference train.py:67-289).
 
     `use_gpu` keeps the reference CLI surface: truthy selects the
@@ -133,6 +133,14 @@ def train_model(use_gpu=False, show_progress_bar=False,
     losses, optional `mesh` sharding over the 'data' axis.  TRAIN_ALL
     (the joint adaptation stage) always runs the per-sample ModelSystem
     path — its inputs are the evolving upstream predictions.
+
+    `predicted=True` materializes the batched Line/Char stages from the
+    SERVING crop distribution (predicted masks in, GT labels through the
+    same plans — dp_train.collect_stage_samples_predicted).  `eval_gate=
+    True` gates every checkpoint overwrite on end-to-end decoded-text
+    accuracy (evaluation.make_eval_gate): stage-local validation loss is
+    proven non-predictive of shipped OCR quality (BASELINE.md rounds
+    3-4).
     """
     enable_persistent_cache()
     if use_gpu:
@@ -149,6 +157,11 @@ def train_model(use_gpu=False, show_progress_bar=False,
     model_weights_file = MODEL_WEIGHTS_FILE_PATH
     train_progress_path = TRAIN_PROGRESS_PATH
 
+    gate = None
+    if eval_gate:
+        from .evaluation import make_eval_gate
+        gate = make_eval_gate(model_weights_file, log=message)
+
     modes = CURRICULUM if curriculum is None else curriculum
 
     if batched:
@@ -158,7 +171,8 @@ def train_model(use_gpu=False, show_progress_bar=False,
             train_model_batched(fast, use_gpu=use_gpu, batch=batch,
                                 mesh=mesh, train_size=train_size,
                                 val_size=val_size, log=message,
-                                checkpoint_path=model_weights_file)
+                                checkpoint_path=model_weights_file,
+                                predicted=predicted, eval_gate=gate)
         modes = [stage for stage in modes if stage[0] not in _STAGE_MODEL]
 
     for mode, lr, lr_step, epochs in modes:
@@ -245,7 +259,8 @@ def train_model(use_gpu=False, show_progress_bar=False,
             progress_tracker=tracker, show_progress_bar=show_progress_bar,
             optimizer=optimizer, learning_rate_step=lr_step,
             save_weights_func=update_weights_func,
-            save_pictures_func=save_pictures_func)
+            save_pictures_func=save_pictures_func,
+            eval_gate=gate)
 
         best_loss, best_loss_epoch = trainer.train(num_epochs=epochs)
         message(f'Complete. Best loss was {best_loss} '

@@ -127,7 +127,8 @@ class Trainer:
                  models, train_dataset, validation_dataset,
                  progress_tracker, show_progress_bar=False,
                  optimizer=None, learning_rate_step=0.995,
-                 save_weights_func=None, save_pictures_func=None):
+                 save_weights_func=None, save_pictures_func=None,
+                 eval_gate=None):
         self.model_system = model_system
         self.make_context_func = make_context_func
         self.models = models
@@ -139,6 +140,12 @@ class Trainer:
         self.learning_rate_step = learning_rate_step
         self.save_weights_func = save_weights_func
         self.save_pictures_func = save_pictures_func
+        #: optional end-to-end accuracy gate (evaluation.make_eval_gate):
+        #: when set, an improved-val-loss epoch may only overwrite the
+        #: checkpoint if the gate approves the candidate weights —
+        #: stage-local val loss is non-predictive of shipped OCR quality
+        #: (BASELINE.md rounds 3-4)
+        self.eval_gate = eval_gate
 
     # -- helpers ---------------------------------------------------------
 
@@ -278,8 +285,16 @@ class Trainer:
 
             improved = losses.get_better_weights(epoch)
             if improved and self.save_weights_func:
-                print('  Saving weights for ' + ', '.join(improved))
-                self.save_weights_func(improved)
+                approved = True
+                if self.eval_gate is not None:
+                    approved, _, _ = self.eval_gate(
+                        {name: self.models[name] for name in improved})
+                if approved:
+                    print('  Saving weights for ' + ', '.join(improved))
+                    self.save_weights_func(improved)
+                else:
+                    print('  Eval gate rejected ' + ', '.join(improved)
+                          + '; checkpoint kept')
 
             print(f'Time required: {dt.now() - started}\n\n')
             last_weights = self._snapshot_weights()
