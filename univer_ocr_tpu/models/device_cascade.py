@@ -315,7 +315,8 @@ def _band_masks(params, crops, h_valid, w_valid, precision=None,
 
 
 def _finish_paragraph_stage(params, crops, h_valid, w_valid,
-                            precision=None, tables=False, margin=False):
+                            precision=None, tables=False, margin=False,
+                            resolve_suspects=True):
     """Shared tail of every paragraph-stage program: Line forward + band
     thresholding, then either the exact bit-packed masks (tables=False)
     or the sheared per-blob tables (tables=True) — ~20-100x fewer D2H
@@ -336,17 +337,29 @@ def _finish_paragraph_stage(params, crops, h_valid, w_valid,
     if not tables:
         return crops, jnp.packbits(bands.astype(jnp.uint8), axis=2)
     (crops, tbl, n_blobs, shears, axis, suspect,
-     packed_prof) = tables_state(bands, crops, margin=margin)
+     packed_prof) = tables_state(bands, crops, margin=margin,
+                                 resolve_suspects=resolve_suspects)
     return crops, pack_tables_payload(tbl, n_blobs, shears, axis,
                                       suspect, packed_prof)
 
 
-def tables_state(bands, crops, margin=False):
+def tables_state(bands, crops, margin=False, resolve_suspects=True):
     """Tables-mode core shared by the classic paragraph stage and the
     fused tail (models/fused_tail.py): both-axis blob tables + suspect
     flags + the folded escalation profile, and the crops sheared by the
     chosen axis's residual tilt.  Returns (crops, tbl, n_blobs, shears,
-    axis, suspect, packed_prof)."""
+    axis, suspect, packed_prof).
+
+    resolve_suspects=True (the serving default) additionally re-plans
+    merge-suspect paragraphs ON DEVICE: 2D grid CCL over the folded
+    closed profile (grid_ccl_tables — the same components, in the same
+    quantized coordinates, the host escalation planner would derive
+    from the pulled payload), replacing the chosen axis's blob tables
+    and CLEARING the suspect flag, so these paragraphs decode directly
+    instead of costing a tables pull + line/Char relaunch per launch
+    (12-19% of real paragraphs fire; BENCH_r04).  Suspects whose
+    component count overflows the table capacity keep the flag and the
+    host escalation path."""
     # both-axis tables + suspect flags + escalation profiles in ONE
     # group-stats pass per axis — no full-resolution mask is sheared or
     # gathered anywhere in tables mode (BENCH r2->r3: the per-column
@@ -395,6 +408,40 @@ def tables_state(bands, crops, margin=False):
 
     prof = jnp.where((axis == 0)[:, None, None], pack(pr0), pack(pr1))
     packed_prof = jnp.packbits(prof.astype(jnp.uint8), axis=2)
+
+    if resolve_suspects:
+        # device escalation: rebuild suspect paragraphs' chosen-axis
+        # tables from the profile's 2D components (the host planner's
+        # exact quantized geometry) and clear the flag
+        H, W = bands.shape[1], bands.shape[2]
+        _, gw_r, _ = _group_centers(W)
+        _, gw_c, _ = _group_centers(H)
+        ch = axis == 0
+        view_h = jnp.where(ch, H, W).astype(jnp.int32)
+        view_w = jnp.where(ch, W, H).astype(jnp.int32)
+        gw_sel = jnp.where(ch, gw_r, gw_c).astype(jnp.int32)
+        prof4 = prof.reshape(B, prof.shape[1], -1, bands.shape[3])
+        t2, n2, converged = grid_ccl_tables(prof4, view_h, view_w,
+                                            gw_sel)
+        # image coordinates: the column-axis view swaps y<->x fields
+        t2 = jnp.where((~ch)[:, None, None, None],
+                       t2[:, :, (0, 3, 4, 1, 2, 6, 5), :], t2)
+        fits = (jnp.max(n2, axis=1) <= t2.shape[1]) & converged
+        fix = suspect & fits
+        chosen_t = jnp.where(ch[:, None, None, None], tbl[:, 0],
+                             tbl[:, 1])
+        chosen_n = jnp.where(ch[:, None], n_blobs[:, 0], n_blobs[:, 1])
+        new_t = jnp.where(fix[:, None, None, None], t2, chosen_t)
+        new_n = jnp.where(fix[:, None], n2, chosen_n)
+        tbl = jnp.stack(
+            [jnp.where(ch[:, None, None, None], new_t, tbl[:, 0]),
+             jnp.where(ch[:, None, None, None], tbl[:, 1], new_t)],
+            axis=1)
+        n_blobs = jnp.stack(
+            [jnp.where(ch[:, None], new_n, n_blobs[:, 0]),
+             jnp.where(ch[:, None], n_blobs[:, 1], new_n)], axis=1)
+        suspect = suspect & ~fits
+
     return crops, tbl, n_blobs, shears, axis, suspect, packed_prof
 
 
@@ -738,6 +785,206 @@ def merge_suspect(bands):
     bands: (B, H, W, C) bool, already sheared for the axis under test
     -> (B,) bool."""
     return _suspect_profile(bands)[0]
+
+
+# ---------------------------------------------------------------------------
+# On-device grid CCL: resolve merge suspects without a host round trip
+#
+# merge-suspect paragraphs used to escalate to the HOST: pull the packed
+# profile, 2D-CCL it with scipy, re-plan, and relaunch line/Char — one
+# RTT-bound tables pull plus one extra launch per suspect, and 12-19% of
+# real paragraphs fire (BENCH_r04: 200/1035, every one changing
+# geometry, so the rate cannot be tuned away).  The re-plan itself is
+# tiny — 8-connectivity components of a ~250x64 boolean grid with <= ~7
+# components (measured on the eval corpus) — so run it ON DEVICE inside
+# the paragraph-stage program: iterative min-label propagation (row-
+# segmented min scans + 8-neighbour relaxation under lax.while_loop),
+# then rebuild the suspect paragraphs' blob tables from the component
+# stats in the HOST PLANNER'S exact quantized coordinates
+# (pipeline._plan_lines_from_profile) and clear the flag.  The fused
+# tail's device line planner then decodes these paragraphs directly —
+# same geometry as the host escalation, zero extra wire ops.
+# ---------------------------------------------------------------------------
+
+#: label sentinel for unoccupied grid cells (>> any linear cell index)
+_CCL_BIG = np.int32(2 ** 30)
+#: relaxation cap: one sweep moves labels across a full row run and one
+#: row vertically, so components converge in O(vertical serpentine
+#: length); text components span a handful of folded rows (measured
+#: <= ~10 sweeps).  Hitting the cap reports converged=False and the
+#: caller keeps the host escalation path — labels are never trusted
+#: un-converged.
+GRID_CCL_MAX_ITERS = 128
+
+
+def _shift_fill(a, dy, dx, fill):
+    """out[:, y, g] = a[:, y+dy, g+dx], `fill` outside the grid."""
+    if dy:
+        a = jnp.pad(a[:, max(dy, 0):a.shape[1] + min(dy, 0)],
+                    ((0, 0), (max(-dy, 0), max(dy, 0)),
+                     (0, 0), (0, 0)), constant_values=fill)
+    if dx:
+        a = jnp.pad(a[:, :, max(dx, 0):a.shape[2] + min(dx, 0)],
+                    ((0, 0), (0, 0),
+                     (max(-dx, 0), max(dx, 0)), (0, 0)),
+                    constant_values=fill)
+    return a
+
+
+def _seg_cummin(lab, occ, reverse):
+    """Min-scan of labels along the G axis, restarting at unoccupied
+    cells (labels propagate only through consecutive occupied cells)."""
+    def comb(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
+
+    v, _ = lax.associative_scan(comb, (lab, ~occ), axis=2,
+                                reverse=reverse)
+    return jnp.where(occ, v, _CCL_BIG)
+
+
+def grid_ccl_labels(occ, max_iters=None):
+    """8-connectivity connected-component labels of (B, L, G, C)
+    boolean grids (each (b, c) plane independent).  Occupied cells get
+    their component's minimum linear index y*G+g — the raster-first
+    cell, i.e. scipy.ndimage.label's component ORDER — unoccupied cells
+    _CCL_BIG.  Returns (labels (B, L, G, C) i32, lin (L, G) i32,
+    converged bool — False iff the sweep cap was hit while labels were
+    still moving; callers must not trust un-converged labels).
+
+    max_iters: static sweep cap (default GRID_CCL_MAX_ITERS).  NOTE it
+    bakes into the traced program — vary it only through a fresh
+    closure, never by mutating the module constant around a cached
+    jit."""
+    cap = GRID_CCL_MAX_ITERS if max_iters is None else max_iters
+    B, L, G, C = occ.shape
+    lin = (jnp.arange(L, dtype=jnp.int32)[:, None] * G
+           + jnp.arange(G, dtype=jnp.int32)[None, :])
+    lab0 = jnp.where(occ, lin[None, :, :, None], _CCL_BIG)
+
+    def sweep(lab):
+        m = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                m = jnp.minimum(m, _shift_fill(lab, dy, dx, _CCL_BIG))
+        lab = jnp.where(occ, jnp.minimum(lab, m), _CCL_BIG)
+        lab = _seg_cummin(lab, occ, reverse=False)
+        return _seg_cummin(lab, occ, reverse=True)
+
+    def cond(state):
+        lab, prev, it = state
+        return (it < cap) & jnp.any(lab != prev)
+
+    def body(state):
+        lab, _, it = state
+        return sweep(lab), lab, it + 1
+
+    lab, prev, _ = lax.while_loop(cond, body,
+                                  (sweep(lab0), lab0, jnp.int32(1)))
+    return lab, lin, ~jnp.any(lab != prev)
+
+
+def grid_ccl_tables(prof, view_h, view_w, gw, ds=PROFILE_ROW_DS,
+                    max_blobs=MAX_BAND_BLOBS):
+    """Blob tables from 2D components of the folded closed profile —
+    the device twin of the host escalation planner's geometry
+    (pipeline._plan_lines_from_profile): same folded grid, same
+    8-connectivity, same quantized bbox/center coordinates
+    (y*ds .. (y+1)*ds clipped to view_h; g*gw .. (g+1)*gw clipped to
+    view_w; centers mean*step + (step-1)/2).
+
+    prof: (B, L, G, C) bool folded closed profile (rows >= the view are
+    zero-padding); view_h/view_w/gw: (B,) i32 per-paragraph view dims +
+    group width of the chosen axis.  Returns (table (B, M, 7, C) f32 in
+    VIEW coordinates [count, y0, y1, x0, x1, cy, cx], n_blobs (B, C)
+    i32 — may exceed M, in which case the caller must keep the host
+    escalation path — and converged: scalar bool from
+    grid_ccl_labels)."""
+    B, L, G, C = prof.shape
+    # the host planner slices bits[:ceil(view_h/ds)] — cells at or past
+    # that row are not part of its grid
+    rows_ok = (jnp.arange(L, dtype=jnp.int32)[None, :] * ds
+               < view_h[:, None])                           # (B, L)
+    occ = prof & rows_ok[:, :, None, None]
+    lab, lin, converged = grid_ccl_labels(occ)
+
+    flat = lab.reshape(B, L * G, C)
+    linf = lin.reshape(L * G)
+    is_root = flat == linf[None, :, None]                   # (B, K, C)
+    n_blobs = jnp.sum(is_root.astype(jnp.int32), axis=1)    # (B, C)
+    roots = jnp.sort(
+        jnp.where(is_root, linf[None, :, None], _CCL_BIG),
+        axis=1)[:, :max_blobs, :]                           # (B, M, C)
+
+    member = ((lab[:, :, :, None, :] == roots[:, None, None, :, :])
+              & (roots < _CCL_BIG)[:, None, None, :, :])    # (B,L,G,M,C)
+    mf = member.astype(jnp.float32)
+    ysf = jnp.arange(L, dtype=jnp.float32).reshape(1, L, 1, 1, 1)
+    gsf = jnp.arange(G, dtype=jnp.float32).reshape(1, 1, G, 1, 1)
+    cnt = jnp.sum(mf, axis=(1, 2))                          # (B, M, C)
+    sy = jnp.sum(mf * ysf, axis=(1, 2))
+    sg = jnp.sum(mf * gsf, axis=(1, 2))
+    ysi = jnp.arange(L, dtype=jnp.int32).reshape(1, L, 1, 1, 1)
+    gsi = jnp.arange(G, dtype=jnp.int32).reshape(1, 1, G, 1, 1)
+    y0 = jnp.min(jnp.where(member, ysi, L), axis=(1, 2))    # (B, M, C)
+    y1 = jnp.max(jnp.where(member, ysi, -1), axis=(1, 2))
+    g0 = jnp.min(jnp.where(member, gsi, G), axis=(1, 2))
+    g1 = jnp.max(jnp.where(member, gsi, -1), axis=(1, 2))
+
+    dsf = jnp.float32(ds)
+    gwf = gw[:, None, None].astype(jnp.float32)
+    denom = jnp.maximum(cnt, 1.0)
+    y0v = (y0 * ds).astype(jnp.float32)
+    y1v = jnp.minimum((y1 + 1) * ds,
+                      view_h[:, None, None]).astype(jnp.float32)
+    x0v = (g0 * gw[:, None, None]).astype(jnp.float32)
+    x1v = jnp.minimum((g1 + 1) * gw[:, None, None],
+                      view_w[:, None, None]).astype(jnp.float32)
+    cy = sy / denom * dsf + (dsf - 1.0) / 2.0
+    cx = sg / denom * gwf + (gwf - 1.0) / 2.0
+    used = (cnt > 0).astype(jnp.float32)[:, :, None, :]
+    table = jnp.stack([cnt, y0v, y1v, x0v, x1v, cy, cx], axis=2) * used
+    return table, n_blobs, converged
+
+
+def grid_ccl_tables_host(prof, view_h, view_w, gw, ds=PROFILE_ROW_DS):
+    """NumPy/scipy mirror of grid_ccl_tables for ONE paragraph's
+    (L, G, C) profile: scipy.ndimage 8-connectivity components with the
+    host planner's exact coordinate math.  Returns (table (M', 7, C)
+    f32 in view coordinates, n_blobs (C,)) with M' = max component
+    count (unpadded)."""
+    from scipy import ndimage
+
+    L, G, C = prof.shape
+    rows = -(-view_h // ds)
+    occ = prof.copy()
+    occ[rows:] = False
+    eight = np.ones((3, 3), bool)
+    per_chan = []
+    n_blobs = np.zeros((C,), np.int32)
+    for c in range(C):
+        labels, cnt = ndimage.label(occ[:, :, c], structure=eight)
+        n_blobs[c] = cnt
+        rows_out = []
+        for blob in range(1, cnt + 1):
+            pts = np.argwhere(labels == blob).astype(float)
+            (py0, pg0), (py1, pg1) = pts.min(axis=0), pts.max(axis=0)
+            rows_out.append([
+                len(pts),
+                py0 * ds, min((py1 + 1) * ds, view_h),
+                pg0 * gw, min((pg1 + 1) * gw, view_w),
+                pts[:, 0].mean() * ds + (ds - 1) / 2.0,
+                pts[:, 1].mean() * gw + (gw - 1) / 2.0,
+            ])
+        per_chan.append(np.asarray(rows_out, np.float32).reshape(-1, 7))
+    M = max(int(n_blobs.max()), 1)
+    table = np.zeros((M, 7, C), np.float32)
+    for c in range(C):
+        table[:n_blobs[c], :, c] = per_chan[c]
+    return table, n_blobs
 
 
 def _close_1d_host(occ, radius):

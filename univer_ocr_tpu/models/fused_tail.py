@@ -305,7 +305,8 @@ def _cross_axis_single(tbl, nb, axis):
 
 def fused_paragraph_tail(line_params, char_params, crops,
                          h_valid, w_valid, precision=None, margin=False,
-                         min_run=4, char_head='xla'):
+                         min_run=4, char_head='xla',
+                         resolve_suspects=True):
     """Everything after the paragraph crop, in ONE program.
 
     crops: (B, HB, WB, 1) f32 paragraph crops (level or deskewed).
@@ -331,7 +332,8 @@ def fused_paragraph_tail(line_params, char_params, crops,
     bands = _thresholded_bands(line_params, crops, h_valid, w_valid,
                                precision=precision)
     (crops, tbl, n_blobs, shears, axis, suspect,
-     packed_prof) = tables_state(bands, crops, margin=margin)
+     packed_prof) = tables_state(bands, crops, margin=margin,
+                                 resolve_suspects=resolve_suspects)
 
     plans, n_lines, over_lines = jax.vmap(_plan_lines_single)(
         tbl, n_blobs, axis)                                 # (B, L, 12)
