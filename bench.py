@@ -106,6 +106,7 @@ def main(n_pages=32, warmup=2):
     elapsed = sorted(reps)[1]
 
     pages_per_sec = n_pages / elapsed
+    rep_rates = sorted(round(n_pages / e, 2) for e in reps)
     log(f'median: {n_pages} pages in {elapsed:.2f}s -> '
         f'{pages_per_sec:.2f} pages/s')
 
@@ -135,6 +136,11 @@ def main(n_pages=32, warmup=2):
         'vs_baseline': round(pages_per_sec / CPU_REFERENCE_PAGES_PER_SEC, 3),
         'north_star_share_62.5': round(pages_per_sec / 62.5, 4),
         'p50_page_latency_ms': round(p50_ms, 1),
+        # per-rep spread: the tracked value is a median of 3 in-process
+        # reps since round 4 (earlier rounds were single runs — semantics
+        # note in BASELINE.md); the dominant variance is per-PROCESS
+        # tunnel quality, which the spread makes visible in history
+        'rep_pages_per_sec': rep_rates,
     }))
 
 

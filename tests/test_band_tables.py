@@ -195,7 +195,10 @@ def test_device_cascade_tables_mode_end_to_end():
     # 416x272 pages have fewer, shorter lines, so one merge decision
     # swings the page ratio more — recalibrated on the round-2
     # checkpoint (measured gap 0.055 over these two pages).
-    assert sim_t >= sim_e - 0.08, (sim_t, sim_e)
+    assert sim_t >= sim_e - 0.06, (sim_t, sim_e)
+    # absolute floor: a tables-path regression that also drags sim_e
+    # down (so the relative guard stays quiet) still has to fail
+    assert sim_t >= 0.5 * len(pages), (sim_t, len(pages))
 
 
 def _tilted_bands(slope, n_lines=6, H=96, W=256, band_h=3, pitch=14):
