@@ -217,16 +217,14 @@ class OCRPipeline:
             strip = max(strips) if strips else H
 
             def mono_fwd(params, x):
-                # Pallas fused monochrome block, vmapped over the chunk
+                # Pallas fused monochrome block; the chunk batch is part
+                # of the kernel grid (one launch per chunk)
                 w1 = params['Monochrome/conv_1']['w']
                 b1 = params['Monochrome/conv_1']['b']
                 w2 = params['Monochrome/conv_2']['w']
                 b2 = params['Monochrome/conv_2']['b']
-                return jax.vmap(
-                    lambda xi: fused_monochrome(xi[None], w1, b1, w2, b2,
-                                                strip_h=strip,
-                                                interpret=interp)[0]
-                )(x)
+                return fused_monochrome(x, w1, b1, w2, b2,
+                                        strip_h=strip, interpret=interp)
         else:
             mono_fwd = partial(monochrome_forward, precision=precision)
 

@@ -15,6 +15,37 @@ from .httpd import App, render_template
 
 REPO_ROOT = Path(__file__).resolve().parents[2]
 
+#: Page-shape buckets for /ocr uploads: every distinct page shape compiles
+#: its own program menu (minutes over the remote-compile tunnel), so
+#: arbitrary upload sizes must collapse onto a small fixed menu.  Dims
+#: snap UP to the canonical serving page then 256-steps (all /16); beyond
+#: the cap the image downscales to fit (keeping aspect) — glyphs stay
+#: >= the trained 12 px floor for any page up to ~2x the cap.  Zero
+#: padding is the make_divisible_by convention the models train with.
+OCR_H_MENU = (496, 752, 1008, 1264, 1520)
+OCR_W_MENU = (736, 992, 1248, 1504, 1760, 2016)
+
+
+def bucket_page(image):
+    """PIL L image -> (1, Hb, Wb, 1) float32 on the shape menu."""
+    import numpy as np
+
+    from ..models.datasets import encode_X
+    w, h = image.size
+    cap_h, cap_w = OCR_H_MENU[-1] - 2, OCR_W_MENU[-1] - 2
+    if h > cap_h or w > cap_w:
+        scale = min(cap_h / h, cap_w / w)
+        image = image.resize((max(1, int(w * scale)),
+                              max(1, int(h * scale))))
+        w, h = image.size
+    bh = next(s for s in OCR_H_MENU if s >= h + 2)
+    bw = next(s for s in OCR_W_MENU if s >= w + 2)
+    X = encode_X(image)
+    out = np.zeros((1, bh, bw, 1), np.float32)
+    py, px = (bh - h) // 2, (bw - w) // 2
+    out[:, py:py + h, px:px + w, :] = X
+    return out
+
 
 def create_app():
     app = App()
@@ -131,17 +162,13 @@ def create_app():
     def ocr(body=None, query=None):
         import io
 
-        import numpy as np
         from PIL import Image
-
-        from ..models.datasets import encode_X
-        from ..models.model import make_divisible_by
         try:
             image = Image.open(io.BytesIO(body)).convert('L')
         except Exception:
             return (400, 'application/json',
                     json.dumps({'error': 'body must be an image'}))
-        X = make_divisible_by(encode_X(image), 16, 16).astype('float32')
+        X = bucket_page(image)
         pipeline = get_pipeline(tuple(X.shape))
         text = pipeline.ocr_pages([X])[0]
         return (200, 'application/json',
