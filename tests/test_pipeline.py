@@ -210,3 +210,26 @@ def test_device_cascade_padded_tail_chunk_matches_full(pages):
     single = [pipe.ocr_pages([p])[0] for p in pages]   # padded 1-page
     assert single == full
     assert pipe._pad_cache                       # pad path exercised
+
+
+def test_fused_warmup_defers_line_menu_and_serves(pages):
+    """Fused-mode warmup loads the paragraph menu synchronously and the
+    escalation-only line/Char menu on a background thread; serving right
+    after warmup() returns must work and the tail must finish."""
+    import json
+
+    from univer_ocr_tpu.models.constants import MODEL_WEIGHTS_FILE_PATH
+    try:
+        weights = json.load(open(MODEL_WEIGHTS_FILE_PATH))
+    except OSError:
+        pytest.skip('no trained checkpoint available')
+    pipe = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
+                       device_cascade=True, precision='highest',
+                       collapse_runs=4)
+    assert pipe.fused_tail
+    pipe.warmup()
+    assert pipe._warmup_tail is not None
+    got = pipe.ocr_pages(pages)
+    assert len(got) == 2 and all(isinstance(p, list) for p in got)
+    pipe._warmup_tail.join(timeout=600)
+    assert not pipe._warmup_tail.is_alive()

@@ -554,6 +554,9 @@ class OCRPipeline:
         #: when timers are set, every D2H pull records
         #: (tag, start, end, nbytes) here for wire-utilization analysis
         self.timeline = []
+        #: background thread loading the escalation-only line/Char menu
+        #: after a fused-mode warmup (None until warmup, or when inline)
+        self._warmup_tail = None
 
     def _track(self, name):
         if self.timers is None:
@@ -1533,8 +1536,17 @@ class OCRPipeline:
                             leaf.block_until_ready()
                     crops_by_batch[crops_dev.shape[0]] = crops_dev
 
-            variants = [(nb, n) for nb in (False, True)
-                        for n in (1, self.DEVICE_BATCH)]  # B=4 tail + B=16
+            # warm exactly the batch sizes _dispatch_paragraph_stage can
+            # launch in THIS config: tables/fused mode (and any mesh) is
+            # batch-canonical at DEVICE_BATCH; only exact-bands mode has
+            # the B=4 tail variant.  Warming unused batch sizes doubled
+            # the program menu — and per-process program loads over the
+            # tunnel, not compiles, dominate warm startup.
+            if self.band_tables or self.mesh is not None:
+                batches = (self.DEVICE_BATCH,)
+            else:
+                batches = (4, self.DEVICE_BATCH)
+            variants = [(nb, n) for nb in (False, True) for n in batches]
             list(pool.map(lambda a: para_variant(*a), variants))
 
             def line_variant(args):
@@ -1549,12 +1561,32 @@ class OCRPipeline:
                     ids.block_until_ready()
 
             # line-stage program per (crop-stack batch, char width) pair
-            list(pool.map(line_variant,
-                          [(c, wc) for c in crops_by_batch.values()
-                           for wc in self.CHAR_WIDTH_MENU]))
+            jobs = [(c, wc) for c in crops_by_batch.values()
+                    for wc in self.CHAR_WIDTH_MENU]
+            if self.fused_tail:
+                # fused mode decodes lines + chars INSIDE the paragraph
+                # program; the standalone line/Char programs only fire on
+                # (rare) escalations, so their load moves off the
+                # startup-critical path.  A first escalation racing the
+                # background load just waits on the jit lock.
+                return line_variant, jobs
+            list(pool.map(line_variant, jobs))
+            return None
 
         with ThreadPoolExecutor(max_workers=16) as pool:
-            list(pool.map(one_shape, self.line_shape_menu))
+            tails = [t for t in pool.map(one_shape, self.line_shape_menu)
+                     if t is not None]
+
+        if tails:
+            def warm_tail():
+                with ThreadPoolExecutor(max_workers=16) as tail_pool:
+                    for line_variant, jobs in tails:
+                        list(tail_pool.map(line_variant, jobs))
+
+            t = Thread(target=warm_tail, daemon=True,
+                       name='warmup-line-menu')
+            t.start()
+            self._warmup_tail = t
 
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
