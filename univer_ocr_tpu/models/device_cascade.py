@@ -831,20 +831,21 @@ def _shift_fill(a, dy, dx, fill):
     return a
 
 
-def _seg_cummin(lab, occ, reverse):
-    """Min-scan of labels along the G axis, restarting at unoccupied
-    cells (labels propagate only through consecutive occupied cells)."""
+def _seg_cummin(lab, occ, reverse, axis=2):
+    """Min-scan of labels along `axis` (G by default), restarting at
+    unoccupied cells (labels propagate only through consecutive occupied
+    cells)."""
     def comb(a, b):
         va, ra = a
         vb, rb = b
         return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
 
-    v, _ = lax.associative_scan(comb, (lab, ~occ), axis=2,
+    v, _ = lax.associative_scan(comb, (lab, ~occ), axis=axis,
                                 reverse=reverse)
     return jnp.where(occ, v, _CCL_BIG)
 
 
-def grid_ccl_labels(occ, max_iters=None):
+def grid_ccl_labels(occ, max_iters=None, column_scan=False):
     """8-connectivity connected-component labels of (B, L, G, C)
     boolean grids (each (b, c) plane independent).  Occupied cells get
     their component's minimum linear index y*G+g — the raster-first
@@ -856,7 +857,13 @@ def grid_ccl_labels(occ, max_iters=None):
     max_iters: static sweep cap (default GRID_CCL_MAX_ITERS).  NOTE it
     bakes into the traced program — vary it only through a fresh
     closure, never by mutating the module constant around a cached
-    jit."""
+    jit.
+
+    column_scan=True additionally min-scans along the row axis each
+    sweep: vertical label propagation jumps whole vertical runs instead
+    of one row, so page-scale components (device_page_plans) converge in
+    O(alternations of the component's monotone serpentine), not O(rows).
+    The folded-profile callers keep the cheaper row-only sweep."""
     cap = GRID_CCL_MAX_ITERS if max_iters is None else max_iters
     B, L, G, C = occ.shape
     lin = (jnp.arange(L, dtype=jnp.int32)[:, None] * G
@@ -872,7 +879,11 @@ def grid_ccl_labels(occ, max_iters=None):
                 m = jnp.minimum(m, _shift_fill(lab, dy, dx, _CCL_BIG))
         lab = jnp.where(occ, jnp.minimum(lab, m), _CCL_BIG)
         lab = _seg_cummin(lab, occ, reverse=False)
-        return _seg_cummin(lab, occ, reverse=True)
+        lab = _seg_cummin(lab, occ, reverse=True)
+        if column_scan:
+            lab = _seg_cummin(lab, occ, reverse=False, axis=1)
+            lab = _seg_cummin(lab, occ, reverse=True, axis=1)
+        return lab
 
     def cond(state):
         lab, prev, it = state
@@ -1852,3 +1863,180 @@ def zoomed_line_crops_matmul(crop_stack, para_idx,
     values = jnp.where(cols_idx < col(w_out, jnp.int32)[:, :, None],
                        values, 0.0)
     return values[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Device paragraph planner — the single-page fused chain's replacement for
+# the host's pull-bits -> scipy-CCL -> plan loop (pipeline.
+# _page_paragraph_plans).  Same component order, same deskew angle search,
+# same twopass plan arithmetic, computed where the mask already lives.
+# ---------------------------------------------------------------------------
+
+#: full-page CCL sweep cap: paragraph blobs are fat row-run components,
+#: so label propagation crosses them in a handful of sweeps; the cap only
+#: bounds the compiled while_loop (non-convergence flags the chain not-ok
+#: and the host keeps its classic path)
+PAGE_CCL_MAX_ITERS = 96
+
+
+def device_page_plans(para2d, out_hb, out_wb, k_max=32):
+    """Paragraph-stage plan matrix of ONE page, computed on device.
+
+    para2d: (H, W) f32/bool predicted paragraph mask.  Returns
+    (labels (H, W) i32 — grid_ccl_labels raster-first component ids,
+    roots (k_max,) i32, plan (k_max, 19) f32 rows in
+    PARAGRAPH_INT_FIELDS + PARAGRAPH_FLT_FIELDS order, n_comp i32,
+    ok bool — False iff the CCL hit its sweep cap or components exceed
+    k_max; callers must fall back to the host planner when not ok).
+
+    Mirrors pipeline._page_paragraph_plans (twopass branch) field for
+    field: scipy.ndimage.label component order (grid_ccl_labels
+    docstring), interpreter.find_rotation_angle's 1-degree projection
+    sweep over per-row extremal points, rotate_affine's scipy rotate
+    geometry, the (|cos|+|sin|)/2 outward margin, /16 center pad, and
+    the host's clamp-to-largest-menu fallback — the chain always crops
+    at the largest menu shape, whose frame the host branch also clamps
+    to, so content is placement-identical.  'page' is the plan's slot
+    index: the chain crops from a per-component masked page stack, which
+    makes every plan blob-exact (the host needs_blob upload variant
+    exists only because its resident mask mixes components).
+    """
+    H, W = para2d.shape
+    occ = (para2d > 0)[None, :, :, None]
+    lab4, lin, converged = grid_ccl_labels(occ,
+                                           max_iters=PAGE_CCL_MAX_ITERS,
+                                           column_scan=True)
+    lab = lab4[0, :, :, 0]                                  # (H, W)
+
+    flat = lab.reshape(-1)
+    linf = lin.reshape(-1)
+    is_root = (flat == linf) & (flat < _CCL_BIG)
+    n_comp = jnp.sum(is_root.astype(jnp.int32))
+    roots = jnp.sort(jnp.where(is_root, linf, _CCL_BIG))[:k_max]
+    live = roots < _CCL_BIG                                 # (K,)
+
+    member = lab[None, :, :] == roots[:, None, None]        # (K, H, W)
+    ih = jnp.arange(H, dtype=jnp.int32)
+    iw = jnp.arange(W, dtype=jnp.int32)
+    rows_any = member.any(axis=2)                           # (K, H)
+    xmin_r = jnp.min(jnp.where(member, iw[None, None, :], W), axis=2)
+    xmax_r = jnp.max(jnp.where(member, iw[None, None, :], -1), axis=2)
+    y0 = jnp.min(jnp.where(rows_any, ih[None, :], H), axis=1)
+    y1 = jnp.max(jnp.where(rows_any, ih[None, :], -1), axis=1)
+    cols_any = member.any(axis=1)                           # (K, W)
+    x0 = jnp.min(jnp.where(cols_any, iw[None, :], W), axis=1)
+    x1 = jnp.max(jnp.where(cols_any, iw[None, :], -1), axis=1)
+    h = jnp.maximum(y1 - y0 + 1, 1)
+    w = jnp.maximum(x1 - x0 + 1, 1)
+    hf, wf = h.astype(jnp.float32), w.astype(jnp.float32)
+
+    # --- deskew angle: height of the projection y*cos - x*sin over the
+    # per-row extremal points (bbox-local), 1-degree grid over [0, 180]
+    ysl = (ih[None, :] - y0[:, None]).astype(jnp.float32)   # (K, H)
+    xlo = (xmin_r - x0[:, None]).astype(jnp.float32)
+    xhi = (xmax_r - x0[:, None]).astype(jnp.float32)
+    ang = jnp.arange(0.0, 181.0, 1.0, dtype=jnp.float32)
+    tc = jnp.cos(jnp.deg2rad(ang))                          # (A,)
+    ts = jnp.sin(jnp.deg2rad(ang))
+    big = jnp.float32(3.0e8)
+    vm = rows_any[:, :, None]
+
+    def proj(x):
+        return (ysl[:, :, None] * tc[None, None, :]
+                - x[:, :, None] * ts[None, None, :])        # (K, H, A)
+
+    plo, phi = proj(xlo), proj(xhi)
+    pmax = jnp.maximum(jnp.max(jnp.where(vm, plo, -big), axis=1),
+                       jnp.max(jnp.where(vm, phi, -big), axis=1))
+    pmin = jnp.minimum(jnp.min(jnp.where(vm, plo, big), axis=1),
+                       jnp.min(jnp.where(vm, phi, big), axis=1))
+    aidx = jnp.argmin(pmax - pmin, axis=1)                  # (K,) first-min
+    angle = aidx.astype(jnp.float32)
+    level = (angle < 1.0) | (angle > 179.0)
+
+    # --- rotate_affine: scipy rotate(angle, reshape=True) geometry
+    rad = jnp.deg2rad(angle)
+    ca, sa = jnp.cos(rad), jnp.sin(rad)
+    cyc = jnp.stack([jnp.zeros_like(hf), jnp.zeros_like(hf), hf, hf], 1)
+    cxc = jnp.stack([jnp.zeros_like(wf), wf, jnp.zeros_like(wf), wf], 1)
+    py_c = ca[:, None] * cyc + sa[:, None] * cxc            # (K, 4)
+    px_c = -sa[:, None] * cyc + ca[:, None] * cxc
+    rh = jnp.floor(py_c.max(1) - py_c.min(1) + 0.5).astype(jnp.int32)
+    rw = jnp.floor(px_c.max(1) - px_c.min(1) + 0.5).astype(jnp.int32)
+    rhf, rwf = rh.astype(jnp.float32), rw.astype(jnp.float32)
+    off_y = (hf - 1.0) / 2.0 - (ca * (rhf - 1.0) / 2.0
+                                + sa * (rwf - 1.0) / 2.0)
+    off_x = (wf - 1.0) / 2.0 - (-sa * (rhf - 1.0) / 2.0
+                                + ca * (rwf - 1.0) / 2.0)
+
+    # --- rotated bbox of the extremal points + sampling margin
+    dy = ysl - off_y[:, None]                               # (K, H)
+    dlo = xlo - off_x[:, None]
+    dhi = xhi - off_x[:, None]
+    py_lo = ca[:, None] * dy - sa[:, None] * dlo
+    py_hi = ca[:, None] * dy - sa[:, None] * dhi
+    px_lo = sa[:, None] * dy + ca[:, None] * dlo
+    px_hi = sa[:, None] * dy + ca[:, None] * dhi
+    vr = rows_any
+    py_min = jnp.minimum(jnp.min(jnp.where(vr, py_lo, big), 1),
+                         jnp.min(jnp.where(vr, py_hi, big), 1))
+    py_max = jnp.maximum(jnp.max(jnp.where(vr, py_lo, -big), 1),
+                         jnp.max(jnp.where(vr, py_hi, -big), 1))
+    px_min = jnp.minimum(jnp.min(jnp.where(vr, px_lo, big), 1),
+                         jnp.min(jnp.where(vr, px_hi, big), 1))
+    px_max = jnp.maximum(jnp.max(jnp.where(vr, px_lo, -big), 1),
+                         jnp.max(jnp.where(vr, px_hi, -big), 1))
+    marg = (jnp.abs(ca) + jnp.abs(sa)) / 2.0
+    ry0 = jnp.maximum(jnp.floor(py_min - marg), 0.0).astype(jnp.int32)
+    rx0 = jnp.maximum(jnp.floor(px_min - marg), 0.0).astype(jnp.int32)
+    ry1 = jnp.minimum(jnp.ceil(py_max + marg).astype(jnp.int32), rh - 1)
+    rx1 = jnp.minimum(jnp.ceil(px_max + marg).astype(jnp.int32), rw - 1)
+    out_h = ry1 - ry0 + 1
+    out_w = rx1 - rx0 + 1
+
+    # --- level override (identity affine)
+    ca = jnp.where(level, 1.0, ca)
+    sa = jnp.where(level, 0.0, sa)
+    off_y = jnp.where(level, 0.0, off_y)
+    off_x = jnp.where(level, 0.0, off_x)
+    ry0 = jnp.where(level, 0, ry0)
+    rx0 = jnp.where(level, 0, rx0)
+    out_h = jnp.where(level, h, out_h)
+    out_w = jnp.where(level, w, out_w)
+
+    # --- /16 center pad (make_divisible_by: always adds >= 1) + the
+    # host's largest-menu clamp
+    pad_h = 16 - out_h % 16
+    pad_w = 16 - out_w % 16
+    hv = jnp.minimum(out_h + pad_h, out_hb)
+    wv = jnp.minimum(out_w + pad_w, out_wb)
+    py = pad_h // 2
+    px = pad_w // 2
+    out_h = jnp.minimum(out_h, out_hb)
+    out_w = jnp.minimum(out_w, out_wb)
+
+    # --- filler rows for dead slots (the warmup filler plan: a 4x4
+    # identity crop at the page origin — decodes to zero lines)
+    def pick(real, filler):
+        return jnp.where(live, real, jnp.asarray(filler, real.dtype))
+
+    k_idx = jnp.arange(k_max, dtype=jnp.int32)
+    ints = {
+        'page': k_idx, 'y0': pick(y0, 4), 'x0': pick(x0, 4),
+        'h': pick(h, 4), 'w': pick(w, 4),
+        'ry0': pick(ry0, 0), 'rx0': pick(rx0, 0),
+        'out_h': pick(out_h, 4), 'out_w': pick(out_w, 4),
+        'py': pick(py, 0), 'px': pick(px, 0),
+        'hv': pick(hv, 4), 'wv': pick(wv, 4),
+        'start_y': jnp.full((k_max,), 16, jnp.int32),
+        'start_x': jnp.full((k_max,), 16, jnp.int32),
+    }
+    flts = {
+        'cos': pick(ca, 1.0), 'sin': pick(sa, 0.0),
+        'off_y': pick(off_y, 0.0), 'off_x': pick(off_x, 0.0),
+    }
+    plan = jnp.stack(
+        [ints[k].astype(jnp.float32) for k in PARAGRAPH_INT_FIELDS]
+        + [flts[k] for k in PARAGRAPH_FLT_FIELDS], axis=1)
+    ok = converged & (n_comp <= k_max)
+    return lab, roots, plan, n_comp, ok

@@ -511,6 +511,58 @@ class OCRPipeline:
 
         self._prep_stacks = jax.jit(prep_stacks)
 
+        if self.fused_tail and mesh is None:
+            from .device_cascade import _twopass_crops, device_page_plans
+            from .fused_tail import fused_paragraph_tail
+
+            def single_page_chain(params, params2, page_u8, hb, wb, k2):
+                """The 1-page latency path as ONE compiled program:
+                front -> device paragraph planner (full-page CCL + the
+                host plan arithmetic, device_page_plans) -> blob-exact
+                per-component crops -> fused tails.  The host uploads the
+                page and pulls ONE coalesced small payload; the classic
+                path's para-bits pull + host-CCL planning round trips
+                disappear.  Crops/tables stay resident for (rare)
+                suspect escalation; para bits stay resident for the
+                not-ok fallback (CCL cap / component overflow)."""
+                line_p, char_p = params2
+                m, para_packed = front_resident(params, page_u8)
+                para = prep_stacks(para_packed)
+                lab, roots, plan, n_comp, ok = device_page_plans(
+                    para[0, :, :, 0], hb, wb, k_max=k2)
+                # per-component masked page stack: every plan's crop is
+                # blob-exact (the host's needs_blob upload variant exists
+                # only because its resident mask mixes components)
+                masked = (m[0, :, :, 0][None]
+                          * (lab[None] == roots[:, None, None]))
+                B = k2 // 2
+                smalls, keep = [], []
+                for g in range(2):
+                    iv, fv = unpack_paragraph_plan(plan[g * B:(g + 1) * B])
+                    crops = _twopass_crops(
+                        masked, None, iv['page'], iv['y0'], iv['x0'],
+                        iv['h'], iv['w'], fv['cos'], fv['sin'],
+                        fv['off_y'], fv['off_x'], iv['ry0'], iv['rx0'],
+                        iv['out_h'], iv['out_w'], iv['py'], iv['px'],
+                        hb, wb, precision=precision)
+                    crops_s, small, tables_payload = fused_paragraph_tail(
+                        line_p, char_p, crops, iv['hv'], iv['wv'],
+                        precision=precision, margin=True,
+                        min_run=min_run, char_head=fused_char_head)
+                    smalls.append(small)
+                    keep.append((crops_s, tables_payload))
+                meta = jnp.stack([
+                    ok.astype(jnp.uint8),
+                    jnp.clip(n_comp, 0, 255).astype(jnp.uint8)])
+                small_all = jnp.concatenate(smalls + [meta])
+                return (small_all, keep[0][0], keep[0][1],
+                        keep[1][0], keep[1][1], m, para_packed)
+
+            self._single_page_chain = jax.jit(single_page_chain,
+                                              static_argnums=(3, 4, 5))
+        else:
+            self._single_page_chain = None
+
         def line_stage(params, crop_stack, plan, out_h, out_w):
             iv, fv = unpack_line_plan(plan)
             w_valid = iv['w_valid']
@@ -1479,6 +1531,99 @@ class OCRPipeline:
         return self._collect_chunk_device(
             self._dispatch_chunk_device(n_pages, mono_dev, para_bits))
 
+    def _ocr_single_page_device(self, page):
+        """1-page latency path: ONE dispatched program chain (front +
+        device paragraph planner + blob-exact crops + fused tails) and
+        ONE small pull — the classic path's para-bits pull, host plans
+        and per-stage launches cost 3 extra serial wire round trips this
+        path doesn't make.  Suspect escalation and the not-ok fallback
+        (CCL sweep cap / >2*DEVICE_BATCH components) pull the resident
+        tables / para bits on demand, exactly like the chunk path."""
+        from .device_cascade import unpack_tables_payload
+        from .fused_tail import fused_payload_nbytes, unpack_fused_payload
+        K2 = 2 * self.DEVICE_BATCH
+        hb, wb = self.line_shape_menu[-1]
+        arr = np.asarray(page)
+        batch = (np.asarray(arr * 255.0, np.uint8)
+                 if arr.dtype != np.uint8 else arr)
+        with self._track('dispatch_single_chain'):
+            (small_all, crops0, tables0, crops1, tables1, mono_dev,
+             para_packed) = self._single_page_chain(
+                self.front_params,
+                (self.line_model.params, self.char_model.params),
+                jnp.asarray(batch), hb, wb, K2)
+        with self._track('pull_fused_glyphs'):
+            buf = np.asarray(self._pull(small_all, 'fused_glyphs').result())
+        ok, n_comp = bool(buf[-2]), int(buf[-1])
+        if not ok:
+            # rare: un-converged page CCL or component overflow — the
+            # classic chunk path replans on host from the resident bits
+            st = self.escalation_stats
+            st['chain_fallback'] = st.get('chain_fallback', 0) + 1
+            with self._track('pull_para_bits'):
+                para_bits = np.asarray(
+                    self._pull(para_packed, 'para_bits').result())
+            return self._ocr_chunk_device(1, mono_dev, para_bits)[0]
+
+        nb = fused_payload_nbytes(self.DEVICE_BATCH)
+        st = self.escalation_stats
+        result = []
+        for g, crops_dev, tables_dev in ((0, crops0, tables0),
+                                         (1, crops1, tables1)):
+            n_g = min(max(n_comp - g * self.DEVICE_BATCH, 0),
+                      self.DEVICE_BATCH)
+            if n_g == 0:
+                break
+            texts, suspects = unpack_fused_payload(
+                buf[g * nb:(g + 1) * nb], n_g)
+            st['paragraphs'] += n_g
+            st['cross_axis'] += int(((suspects >> 1) & 1).sum())
+            st['capacity'] = (st.get('capacity', 0)
+                              + int((suspects >= 4).sum()))
+            for b, comp in enumerate(
+                    ('merge', 'cross', 'table_of', 'lines_of',
+                     'pool_of', 'trunc_of', 'glyph_of')):
+                st[comp] = st.get(comp, 0) + int(((suspects >> b) & 1).sum())
+            if suspects.any():
+                with self._track('pull_band_tables'):
+                    (tables, n_blobs, _sh, axes, _sus,
+                     profiles) = unpack_tables_payload(
+                        self._pull(tables_dev, 'bands').result())
+                flat = []
+                with self._track('host_line_plans'):
+                    for bi in range(n_g):
+                        if not suspects[bi]:
+                            continue
+                        st['suspect'] += 1
+                        ax = int(axes[bi])
+                        geometry = int(suspects[bi]) & 0b111
+                        if self.escalation and geometry:
+                            lps = self._plan_lines_from_profile(
+                                profiles[bi], ax, hb, wb)
+                        else:
+                            lps = self._plan_lines_from_tables(
+                                tables[bi], n_blobs[bi], ax)
+                        flat.extend((bi, lp) for lp in lps)
+                with self._track('dispatch_line_stage'):
+                    refs = self._dispatch_line_stage(crops_dev, flat)
+                line_texts = [None] * len(flat)
+                for ref_sel, ids_dev in refs:
+                    with self._track('pull_char_ids'):
+                        ids = np.asarray(
+                            self._pull(ids_dev, 'char_ids').result())
+                    for bi, ref in enumerate(ref_sel):
+                        w = flat[ref][1]['w_valid']
+                        row = ids[bi, :w]
+                        line_texts[ref] = pred_ids_to_text(
+                            row, row != 255, self.collapse_runs).strip()
+                for bi in range(n_g):
+                    if suspects[bi]:
+                        texts[bi] = [line_texts[k]
+                                     for k, (slot, _) in enumerate(flat)
+                                     if slot == bi]
+            result.extend([t.strip() for t in para] for para in texts)
+        return result
+
     def warmup(self):
         """Compile the whole program menu with dummy data (cached
         persistently; later runs start hot)."""
@@ -1591,6 +1736,8 @@ class OCRPipeline:
     def ocr_pages(self, pages):
         """pages: list of (1, H, W, 1) float arrays (all same shape).
         Returns per page: [paragraph][line] -> decoded text."""
+        if len(pages) == 1 and self._single_page_chain is not None:
+            return [self._ocr_single_page_device(pages[0])]
         front_fn = (self._front_resident if self.device_cascade
                     else self._front)
         front_params = self.front_params
