@@ -206,6 +206,9 @@ def test_device_cascade_padded_tail_chunk_matches_full(pages):
 
     pipe = OCRPipeline(PAGE_SHAPE, weights=weights, chunk=2, workers=2,
                        device_cascade=True, precision='highest')
+    # this test pins the PAD path (also the single-page chain's not-ok
+    # fallback); disable the chain so 1-page calls exercise it directly
+    pipe._single_page_chain = None
     full = pipe.ocr_pages(pages)                 # one 2-page chunk
     single = [pipe.ocr_pages([p])[0] for p in pages]   # padded 1-page
     assert single == full
