@@ -65,8 +65,10 @@ if not use_gpu:
     import jax
     jax.config.update('jax_platforms', 'cpu')
 
+predicted = next((f.split('=', 1)[1] if '=' in f else True
+                  for f in flags if f.startswith('--predicted')), False)
 train_model(use_gpu=use_gpu, curriculum=CURRICULUM, batched=batched,
             batch=batch, mesh=mesh, train_size=train_size,
-            val_size=val_size, predicted='--predicted' in flags,
+            val_size=val_size, predicted=predicted,
             eval_gate='--eval-gate' in flags)
 print('TRAINING DONE')

@@ -571,8 +571,10 @@ def train_model_batched(curriculum, use_gpu=True, batch=16, mesh=None,
     `predicted=True` materializes Line/Char samples from the serving
     crop distribution (collect_stage_samples_predicted), re-running the
     upstream forward at every stage start so stages compose (the Char
-    stage sees the just-trained Line model's plans).  `eval_gate` gates
-    checkpoint overwrites on end-to-end accuracy (make_eval_gate)."""
+    stage sees the just-trained Line model's plans); `predicted='mix'`
+    additionally concatenates the GT-geometry samples into the train set
+    (validation stays predicted-only).  `eval_gate` gates checkpoint
+    overwrites on end-to-end accuracy (make_eval_gate)."""
     import json
 
     from ..nn.backend import DB
@@ -609,6 +611,13 @@ def train_model_batched(curriculum, use_gpu=True, batch=16, mesh=None,
         if use_predicted:
             train_samples = collect_stage_samples_predicted(
                 mode, train_ds, weights, log=log)
+            if predicted == 'mix':
+                # mixed curriculum: clean GT-geometry crops anchor the
+                # easy-alignment gradient signal while predicted crops
+                # keep the serving distribution dominant; validation
+                # stays predicted-only (the distribution that ships)
+                train_samples = train_samples + collect_stage_samples(
+                    mode, train_ds)
             val_samples = collect_stage_samples_predicted(
                 mode, val_ds, weights, log=log)
         else:
