@@ -1879,35 +1879,23 @@ def zoomed_line_crops_matmul(crop_stack, para_idx,
 PAGE_CCL_MAX_ITERS = 96
 
 
-def device_page_plans(para2d, out_hb, out_wb, k_max=32):
-    """Paragraph-stage plan matrix of ONE page, computed on device.
+def _page_component_plans(lab, lin, menu, k_max):
+    """Plan rows of ONE page from its CCL labels (the shared core of
+    device_page_plans / device_chunk_plans).
 
-    para2d: (H, W) f32/bool predicted paragraph mask.  Returns
-    (labels (H, W) i32 — grid_ccl_labels raster-first component ids,
-    roots (k_max,) i32, plan (k_max, 19) f32 rows in
-    PARAGRAPH_INT_FIELDS + PARAGRAPH_FLT_FIELDS order, n_comp i32,
-    ok bool — False iff the CCL hit its sweep cap or components exceed
-    k_max; callers must fall back to the host planner when not ok).
+    lab: (H, W) i32 component labels (grid_ccl_labels), lin (H, W) i32
+    linear indices, menu: STATIC tuple of (hb, wb) crop shapes.  Returns
+    (roots (K,) i32, plan (K, 20) f32 — the 19 PARAGRAPH_*_FIELDS
+    columns plus the component root label for label-exact crop masking —
+    menu_idx (K,) i32 into `menu`, n_comp i32).
 
-    Mirrors pipeline._page_paragraph_plans (twopass branch) field for
-    field: scipy.ndimage.label component order (grid_ccl_labels
-    docstring), interpreter.find_rotation_angle's 1-degree projection
-    sweep over per-row extremal points, rotate_affine's scipy rotate
-    geometry, the (|cos|+|sin|)/2 outward margin, /16 center pad, and
-    the host's clamp-to-largest-menu fallback — the chain always crops
-    at the largest menu shape, whose frame the host branch also clamps
-    to, so content is placement-identical.  'page' is the plan's slot
-    index: the chain crops from a per-component masked page stack, which
-    makes every plan blob-exact (the host needs_blob upload variant
-    exists only because its resident mask mixes components).
+    Mirrors pipeline._page_paragraph_plans field arithmetic exactly
+    (see device_page_plans docstring); the menu pick replicates
+    pipeline._line_menu_shape(shear_margin=True) and every clamp uses
+    the CHOSEN menu entry, so host-side launch grouping reproduces
+    today's per-shape program menu.
     """
-    H, W = para2d.shape
-    occ = (para2d > 0)[None, :, :, None]
-    lab4, lin, converged = grid_ccl_labels(occ,
-                                           max_iters=PAGE_CCL_MAX_ITERS,
-                                           column_scan=True)
-    lab = lab4[0, :, :, 0]                                  # (H, W)
-
+    H, W = lab.shape
     flat = lab.reshape(-1)
     linf = lin.reshape(-1)
     is_root = (flat == linf) & (flat < _CCL_BIG)
@@ -2004,16 +1992,31 @@ def device_page_plans(para2d, out_hb, out_wb, k_max=32):
     out_h = jnp.where(level, h, out_h)
     out_w = jnp.where(level, w, out_w)
 
-    # --- /16 center pad (make_divisible_by: always adds >= 1) + the
-    # host's largest-menu clamp
+    # --- /16 center pad (make_divisible_by: always adds >= 1)
     pad_h = 16 - out_h % 16
     pad_w = 16 - out_w % 16
-    hv = jnp.minimum(out_h + pad_h, out_hb)
-    wv = jnp.minimum(out_w + pad_w, out_wb)
+    hv = out_h + pad_h
+    wv = out_w + pad_w
     py = pad_h // 2
     px = pad_w // 2
-    out_h = jnp.minimum(out_h, out_hb)
-    out_w = jnp.minimum(out_w, out_wb)
+
+    # --- menu pick (pipeline._line_menu_shape, shear_margin=True) +
+    # clamp to the chosen entry (the host's fallback clamps to menu[-1])
+    fold = jnp.abs(sa) > jnp.abs(ca)
+    need_h = jnp.maximum(jnp.maximum(h, hv), jnp.where(fold, w, 0))
+    need_w = jnp.maximum(jnp.maximum(w, wv), jnp.where(fold, h, 0))
+    menu_idx = jnp.full_like(need_h, len(menu) - 1)
+    for mi in range(len(menu) - 1, -1, -1):
+        mhb, mwb = menu[mi]
+        fits = ((need_h + 2 * _shear_span(mwb) <= mhb)
+                & (need_w + 2 * _shear_span(mhb) <= mwb))
+        menu_idx = jnp.where(fits, mi, menu_idx)
+    hb_sel = jnp.asarray([mh for mh, _ in menu], jnp.int32)[menu_idx]
+    wb_sel = jnp.asarray([mw for _, mw in menu], jnp.int32)[menu_idx]
+    out_h = jnp.minimum(out_h, hb_sel)
+    hv = jnp.minimum(hv, hb_sel)
+    out_w = jnp.minimum(out_w, wb_sel)
+    wv = jnp.minimum(wv, wb_sel)
 
     # --- filler rows for dead slots (the warmup filler plan: a 4x4
     # identity crop at the page origin — decodes to zero lines)
@@ -2037,6 +2040,67 @@ def device_page_plans(para2d, out_hb, out_wb, k_max=32):
     }
     plan = jnp.stack(
         [ints[k].astype(jnp.float32) for k in PARAGRAPH_INT_FIELDS]
-        + [flts[k] for k in PARAGRAPH_FLT_FIELDS], axis=1)
+        + [flts[k] for k in PARAGRAPH_FLT_FIELDS]
+        + [jnp.where(live, roots, -1).astype(jnp.float32)], axis=1)
+    return roots, plan, menu_idx, n_comp
+
+
+def device_page_plans(para2d, out_hb, out_wb, k_max=32):
+    """Paragraph-stage plan matrix of ONE page, computed on device (the
+    single-page fused chain's planner).
+
+    para2d: (H, W) f32/bool predicted paragraph mask.  Returns
+    (labels (H, W) i32 — grid_ccl_labels raster-first component ids,
+    roots (k_max,) i32, plan (k_max, 19) f32 rows in
+    PARAGRAPH_INT_FIELDS + PARAGRAPH_FLT_FIELDS order, n_comp i32,
+    ok bool — False iff the CCL hit its sweep cap or components exceed
+    k_max; callers must fall back to the host planner when not ok).
+
+    Mirrors pipeline._page_paragraph_plans (twopass branch) field for
+    field: scipy.ndimage.label component order (grid_ccl_labels
+    docstring), interpreter.find_rotation_angle's 1-degree projection
+    sweep over per-row extremal points, rotate_affine's scipy rotate
+    geometry, the (|cos|+|sin|)/2 outward margin, /16 center pad, and
+    the host's clamp-to-largest-menu fallback — the chain always crops
+    at the largest menu shape, whose frame the host branch also clamps
+    to, so content is placement-identical.  'page' is the plan's slot
+    index: the chain crops from a per-component masked page stack, which
+    makes every plan blob-exact (the host needs_blob upload variant
+    exists only because its resident mask mixes components).
+    """
+    occ = (para2d > 0)[None, :, :, None]
+    lab4, lin, converged = grid_ccl_labels(occ,
+                                           max_iters=PAGE_CCL_MAX_ITERS,
+                                           column_scan=True)
+    lab = lab4[0, :, :, 0]
+    roots, plan, _menu_idx, n_comp = _page_component_plans(
+        lab, lin, ((out_hb, out_wb),), k_max)
     ok = converged & (n_comp <= k_max)
-    return lab, roots, plan, n_comp, ok
+    return lab, roots, plan[:, :19], n_comp, ok
+
+
+def device_chunk_plans(para_stack, menu, k_max=48):
+    """Batched device paragraph planner for the CHUNK path.
+
+    para_stack: (B, H, W) f32 predicted paragraph masks (the resident
+    _prep_stacks output, channel dropped).  menu: STATIC tuple of
+    (hb, wb) crop shapes (pipeline.line_shape_menu).  Returns
+    (labels (B, H, W) i32, plans (B, k_max, 20) f32 — 19 plan fields +
+    root label — menu_idx (B, k_max) i32, n_comp (B,) i32,
+    converged bool).  Pages with n_comp > k_max (or an un-converged
+    CCL) must fall back to the host planner; the pipeline pulls ONE
+    (B, k_max, 22) matrix instead of the bit-packed paragraph masks
+    (the largest D2H payload of the classic chunk dispatch)."""
+    occ = (para_stack > 0)[:, :, :, None]
+    lab4, lin, converged = grid_ccl_labels(occ,
+                                           max_iters=PAGE_CCL_MAX_ITERS,
+                                           column_scan=True)
+    lab = lab4[:, :, :, 0]                                  # (B, H, W)
+
+    def one(lb):
+        roots, plan, menu_idx, n_comp = _page_component_plans(
+            lb, lin, menu, k_max)
+        return plan, menu_idx, n_comp
+
+    plans, menu_idx, n_comp = lax.map(one, lab)
+    return lab, plans, menu_idx, n_comp, converged

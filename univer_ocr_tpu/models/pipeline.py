@@ -94,6 +94,9 @@ class OCRPipeline:
     #: Fixed device batch for Line/Char launches (pow2 padding per launch
     #: would multiply the compile menu by the number of batch sizes).
     DEVICE_BATCH = 16
+    #: per-page plan-slot cap of the device chunk planner (pages with
+    #: more components fall back to the host planner)
+    CHUNK_PLAN_K = 48
     #: line/Char-stage launch batch (device_cascade): a chunk of 8 pages
     #: carries ~160 lines, and every launch costs one RTT-bound char-id
     #: pull on this tunnel, so lines batch 4x wider than paragraph crops
@@ -560,8 +563,56 @@ class OCRPipeline:
 
             self._single_page_chain = jax.jit(single_page_chain,
                                               static_argnums=(3, 4, 5))
+
+            def stage_labeled_fused(params2, mono_stack, labels_stack,
+                                    plan20, hb, wb):
+                """Label-exact fused paragraph stage for device-planned
+                chunks: col 19 of the plan matrix is the component's
+                root label; each plan's crop source is its page masked
+                to ITS component — the blob-upload variant's semantics
+                with zero H2D payload."""
+                iv, fv = unpack_paragraph_plan(plan20[:, :19])
+                root = plan20[:, 19].astype(jnp.int32)
+                line_p, char_p = params2
+                pg = jnp.take(mono_stack[:, :, :, 0], iv['page'], axis=0)
+                lb = jnp.take(labels_stack, iv['page'], axis=0)
+                masked = pg * (lb == root[:, None, None]).astype(pg.dtype)
+                crops = _twopass_crops(
+                    masked, None,
+                    jnp.arange(masked.shape[0], dtype=jnp.int32),
+                    iv['y0'], iv['x0'], iv['h'], iv['w'], fv['cos'],
+                    fv['sin'], fv['off_y'], fv['off_x'], iv['ry0'],
+                    iv['rx0'], iv['out_h'], iv['out_w'], iv['py'],
+                    iv['px'], hb, wb, precision=precision)
+                return fused_paragraph_tail(
+                    line_p, char_p, crops, iv['hv'], iv['wv'],
+                    precision=precision, margin=True, min_run=min_run,
+                    char_head=fused_char_head)
+
+            self._paragraph_stage_labeled_fused = jax.jit(
+                stage_labeled_fused, static_argnums=(4, 5))
+
+            from .device_cascade import device_chunk_plans
+
+            def chunk_planner(para_stack, menu, k):
+                """Device chunk planner + single-payload packing: ONE
+                f32 pull [plans (B,K,20) | menu_idx (B,K) | n_comp (B) |
+                converged] replaces the chunk's bit-packed paragraph
+                mask pull (the classic dispatch's largest D2H payload)."""
+                labels, plans, menu_idx, n_comp, conv = device_chunk_plans(
+                    para_stack, menu, k_max=k)
+                packed = jnp.concatenate([
+                    plans.reshape(-1),
+                    menu_idx.astype(jnp.float32).reshape(-1),
+                    n_comp.astype(jnp.float32),
+                    conv.astype(jnp.float32)[None]])
+                return labels, packed
+
+            self._chunk_planner = jax.jit(chunk_planner,
+                                          static_argnums=(1, 2))
         else:
             self._single_page_chain = None
+            self._chunk_planner = None
 
         def line_stage(params, crop_stack, plan, out_h, out_w):
             iv, fv = unpack_line_plan(plan)
@@ -876,26 +927,30 @@ class OCRPipeline:
             })
         return plans
 
-    def _dispatch_paragraph_stage(self, stacks, plans):
+    def _dispatch_paragraph_stage(self, stacks, plans, labels_dev=None):
         """Launch the fused crop + Line programs for all plans, grouped
         by shape menu: one bilinear-gather program family serves level
         (identity affine) and deskewed paragraphs alike; single-component
         bboxes use the blob-free resident variant (no mask upload).
+        Device-planned plans (carrying a 'root' component label; see
+        _dispatch_chunk_device_planned) group separately and ride the
+        label-exact stage with `labels_dev`.
         Returns [(plan_indices, crops_dev, payload_dev)] with crops
         left on device for the line stage."""
         mono_dev, para_dev = stacks
         groups = {}
         for i, plan in enumerate(plans):
-            groups.setdefault(plan['menu'], []).append(i)
+            groups.setdefault((plan['menu'], 'root' in plan), []).append(i)
         B = self.DEVICE_BATCH
         params = self.line_model.params
         launches = []
-        for (hb, wb), idxs in groups.items():
+        for ((hb, wb), labeled), idxs in groups.items():
             # cluster the (rare, ~9%: scripts) blob-needing plans into as
             # few batches as possible; a batch uses the upload program
             # only if one of its plans needs the true blob — launch count
             # stays ceil(n/B), identical to menu-only grouping
-            idxs = sorted(idxs, key=lambda i: not plans[i]['needs_blob'])
+            idxs = sorted(idxs,
+                          key=lambda i: not plans[i].get('needs_blob'))
             start = 0
             while start < len(idxs):
                 r = len(idxs) - start
@@ -908,7 +963,8 @@ class OCRPipeline:
                               and not self.band_tables) else B)
                 sel = idxs[start:start + Bsub]
                 start += Bsub
-                needs_blob = any(plans[i]['needs_blob'] for i in sel)
+                needs_blob = any(plans[i].get('needs_blob')
+                                 for i in sel)
                 blob = (np.zeros((Bsub, hb, wb // 8), np.uint8)
                         if needs_blob else None)
                 from .device_cascade import (PARAGRAPH_FLT_FIELDS,
@@ -935,10 +991,20 @@ class OCRPipeline:
                         mat[bi, ci] = plan[k]
                     for ci, k in enumerate(PARAGRAPH_FLT_FIELDS):
                         mat[bi, ni + ci] = plan[k]
+                if labeled:
+                    root_col = np.full((Bsub, 1), -1.0, np.float32)
+                    for bi, i in enumerate(sel):
+                        root_col[bi, 0] = plans[i]['root']
+                    mat = np.concatenate([mat, root_col], axis=1)
                 pv = jnp.asarray(mat)
                 if self.fused_tail:
                     params2 = (params, self.char_model.params)
-                    if needs_blob:
+                    if labeled:
+                        crops, small, packed = (
+                            self._paragraph_stage_labeled_fused(
+                                params2, mono_dev, labels_dev, pv,
+                                hb, wb))
+                    elif needs_blob:
                         crops, small, packed = self._paragraph_stage_fused(
                             params2, mono_dev, jnp.asarray(blob), pv)
                     else:
@@ -1331,9 +1397,77 @@ class OCRPipeline:
                      for page in range(n_pages)
                      for p in self._page_paragraph_plans(page, para[page])]
 
+        return self._finish_dispatch(n_pages, mono_dev, para_dev, plans)
+
+    def _dispatch_chunk_device_planned(self, n_pages, mono_dev, bits_dev):
+        """Device-planned dispatch: the chunk planner (device_chunk_plans)
+        replaces the bit-packed paragraph-mask pull (the classic
+        dispatch's largest D2H payload, 1.46 MB / 16 sliced pulls per
+        32-page chunk) and the host scipy-CCL plan loop with ONE compact
+        plan-matrix pull.  Pages the planner flags (un-converged CCL or
+        >k_max components) fall back to the host planner on their own
+        pulled mask rows; every planned page's crops are label-exact
+        (stage_labeled_fused), so the blob H2D upload disappears too."""
+        from .device_cascade import (PARAGRAPH_FLT_FIELDS,
+                                     PARAGRAPH_INT_FIELDS)
+        K = self.CHUNK_PLAN_K
+        menu_t = tuple(self.line_shape_menu)
+        if bits_dev.shape[0] < self.chunk:
+            pad = jnp.zeros((self.chunk - bits_dev.shape[0],)
+                            + bits_dev.shape[1:], bits_dev.dtype)
+            bits_dev = jnp.concatenate([bits_dev, pad])
+        mono_dev = self._pad_stack(mono_dev)
+        para_dev = self._prep_stacks(bits_dev)
+        labels_dev, packed = self._chunk_planner(
+            para_dev[:, :, :, 0], menu_t, K)
+        with self._track('pull_plan_matrix'):
+            flat = np.asarray(self._pull(packed, 'plan_matrix').result())
+        B = self.chunk
+        o = B * K * 20
+        mats = flat[:o].reshape(B, K, 20)
+        menu_idx = flat[o:o + B * K].reshape(B, K).astype(np.int32)
+        n_comp = flat[o + B * K:o + B * K + B].astype(np.int32)
+        converged = bool(flat[-1])
+
+        ni = len(PARAGRAPH_INT_FIELDS)
+        plans = []
+        bits_host = None
+        with self._track('host_paragraph_plans'):
+            for page in range(n_pages):
+                if converged and n_comp[page] <= K:
+                    for k in range(int(n_comp[page])):
+                        row = mats[page, k]
+                        plan = {f: int(row[ci]) for ci, f in
+                                enumerate(PARAGRAPH_INT_FIELDS)}
+                        for ci, f in enumerate(PARAGRAPH_FLT_FIELDS):
+                            plan[f] = float(row[ni + ci])
+                        plan['page'] = page
+                        plan['menu'] = menu_t[menu_idx[page, k]]
+                        plan['root'] = int(row[19])
+                        plan['needs_blob'] = False
+                        plans.append(plan)
+                    continue
+                st = self.escalation_stats
+                st['chain_fallback'] = st.get('chain_fallback', 0) + 1
+                if bits_host is None:
+                    with self._track('pull_para_bits'):
+                        bits_host = np.asarray(
+                            self._pull(bits_dev, 'para_bits').result())
+                    para = np.unpackbits(bits_host, axis=2)
+                    para = para[:, :, :self.page_shape[2], 0]
+                plans.extend(self._page_paragraph_plans(page, para[page]))
+        return self._finish_dispatch(n_pages, mono_dev, para_dev, plans,
+                                     labels_dev=labels_dev)
+
+    def _finish_dispatch(self, n_pages, mono_dev, para_dev, plans,
+                         labels_dev=None):
+        rep = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
         with self._track('dispatch_paragraph_stage'):
             launches = self._dispatch_paragraph_stage(
-                (mono_dev, para_dev), plans)
+                (mono_dev, para_dev), plans, labels_dev=labels_dev)
 
         # all band-mask/glyph transfers in flight at once: total wait
         # collapses to wire time instead of launches x RTT.  (A per-row
@@ -1670,28 +1804,38 @@ class OCRPipeline:
                     'menu': (hb, wb), 'blob': blob, 'rotated': False}
             crops_by_batch = {}
 
-            def para_variant(needs_blob, n):
-                p = dict(plan, needs_blob=needs_blob)
+            def para_variant(extra, n):
+                p = dict(plan, **extra)
+                labels = (lab0 if 'root' in extra else None)
                 for _, crops_dev, small, payload in (
                         self._dispatch_paragraph_stage(
-                            stacks, [p] * n)):
+                            stacks, [p] * n, labels_dev=labels)):
                     for leaf in jax.tree_util.tree_leaves(
                             (small, payload)):
                         if leaf is not None:
                             leaf.block_until_ready()
                     crops_by_batch[crops_dev.shape[0]] = crops_dev
 
-            # warm exactly the batch sizes _dispatch_paragraph_stage can
-            # launch in THIS config: tables/fused mode (and any mesh) is
-            # batch-canonical at DEVICE_BATCH; only exact-bands mode has
-            # the B=4 tail variant.  Warming unused batch sizes doubled
-            # the program menu — and per-process program loads over the
-            # tunnel, not compiles, dominate warm startup.
+            # warm exactly the program variants THIS config can launch:
+            # device-planned chunks (fused, no mesh) ride the label-exact
+            # stage — the blob/resident programs only serve (rare)
+            # planner-fallback pages and lazy-load from the persistent
+            # cache; tables/fused mode is batch-canonical at
+            # DEVICE_BATCH; only exact-bands mode has the B=4 tail.
+            # Per-process program LOADS over the tunnel, not compiles,
+            # dominate warm startup, so every unused variant cut here is
+            # wall-clock at serving start.
             if self.band_tables or self.mesh is not None:
                 batches = (self.DEVICE_BATCH,)
             else:
                 batches = (4, self.DEVICE_BATCH)
-            variants = [(nb, n) for nb in (False, True) for n in batches]
+            if self._chunk_planner is not None:
+                lab0 = jnp.zeros((self.chunk, H, W), jnp.int32)
+                variants = [({'root': 0}, n) for n in batches]
+            else:
+                lab0 = None
+                variants = [({'needs_blob': nb}, n) for nb in (False, True)
+                            for n in batches]
             list(pool.map(lambda a: para_variant(*a), variants))
 
             def line_variant(args):
@@ -1771,26 +1915,41 @@ class OCRPipeline:
             import queue as _queue
             states = _queue.Queue(maxsize=2)
 
+            planned = self._chunk_planner is not None
+
+            def stage_bits(bits_dev):
+                # device-planned chunks keep the mask on device (the
+                # planner replaces the pull); classic chunks start the
+                # sliced D2H pull immediately
+                if planned:
+                    return bits_dev
+                return self._pull_rows(bits_dev, 'para_bits')
+
             def dispatcher():
                 try:
-                    pending = None          # (chunk, mono_dev, bits_fut)
+                    pending = None          # (chunk, mono_dev, bits)
                     for i, chunk in enumerate(chunks):
                         if pending is None:
                             _, (mono_dev, bits_dev) = dispatch_front(chunk)
                             pending = (chunk, mono_dev,
-                                       self._pull_rows(bits_dev, 'para_bits'))
-                        chunk, mono_dev, fut = pending
+                                       stage_bits(bits_dev))
+                        chunk, mono_dev, bits = pending
                         # kick chunk i+1's front before blocking on chunk
                         # i's paragraph-mask pull
                         if i + 1 < len(chunks):
                             nxt = chunks[i + 1]
                             _, (mono_nxt, bits_nxt) = dispatch_front(nxt)
                             pending = (nxt, mono_nxt,
-                                       self._pull_rows(bits_nxt, 'para_bits'))
+                                       stage_bits(bits_nxt))
                         else:
                             pending = None
+                        if planned:
+                            states.put(
+                                ('ok', self._dispatch_chunk_device_planned(
+                                    len(chunk), mono_dev, bits)))
+                            continue
                         with self._track('pull_para_bits'):
-                            para_bits = fut.result()
+                            para_bits = bits.result()
                         states.put(('ok', self._dispatch_chunk_device(
                             len(chunk), mono_dev, para_bits)))
                 except BaseException as exc:   # surface on main thread
