@@ -60,9 +60,30 @@ def _page_layers(dataset, idx, tags):
     return dataset.get(idx, layer_tags=tags)
 
 
-def collect_stage_samples(mode, dataset, workers=8):
+def _jitter_bbox(bbox, shape, rng, amp=2):
+    """Shift/grow a line bbox by a few pixels: the same geometric noise
+    the serving cascade's PREDICTED line plans carry (bbox jitter,
+    deskew residual, zoom variation) — but applied identically to the
+    input crop and its GT bit planes, so the supervision stays exact
+    (the predicted-crop builder's labels inherit plan misalignment as
+    label noise; jittered GT crops do not)."""
+    y, x = bbox
+    H, W = shape
+    dy, dx = rng.randint(-amp, amp + 1), rng.randint(-amp, amp + 1)
+    gy = rng.randint(-amp, amp + 1)
+    y2 = slice(max(0, y.start + dy), min(H, max(y.start + dy + 2,
+                                                y.stop + dy + gy)))
+    x2 = slice(max(0, x.start + dx), min(W, x.stop + dx))
+    return (y2, x2)
+
+
+def collect_stage_samples(mode, dataset, workers=8, char_augment=0,
+                          seed=0):
     """All (X, y) sample pairs of one curriculum stage, as float32 NumPy
-    arrays in their natural (unpadded) shapes."""
+    arrays in their natural (unpadded) shapes.
+
+    char_augment=N adds N jittered copies of every TRAIN_CHAR line
+    (_jitter_bbox): exact labels under the serving geometry noise."""
     from concurrent.futures import ThreadPoolExecutor
 
     def page_samples(idx):
@@ -92,12 +113,22 @@ def collect_stage_samples(mode, dataset, workers=8):
                     mask, [layers['monochrome'], layers['line'],
                            layers['char']])
                 bboxes, rotation = plan_paragraph_lines(line_c)
+                rng = np.random.RandomState(seed * 10007 + idx)
+                hw = mono_c.shape[1:3]
                 for bbox in bboxes:
-                    x = extract_line(mono_c, bbox, rotation,
-                                     CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
-                    bits = extract_line(char_c, bbox, rotation,
-                                        CHAR_INPUT_HEIGHT, CHAR_FIXED_WIDTH)
-                    out.append((x, label_char_line(bits)))
+                    variants = [bbox] + [
+                        _jitter_bbox(bbox, hw, rng)
+                        for _ in range(char_augment)]
+                    for bb in variants:
+                        x = extract_line(mono_c, bb, rotation,
+                                         CHAR_INPUT_HEIGHT,
+                                         CHAR_FIXED_WIDTH)
+                        bits = extract_line(char_c, bb, rotation,
+                                            CHAR_INPUT_HEIGHT,
+                                            CHAR_FIXED_WIDTH)
+                        y = label_char_line(bits)
+                        if y.any():
+                            out.append((x, y))
             return out
         raise ValueError(f'batched training does not cover {mode}')
 
@@ -615,9 +646,12 @@ def train_model_batched(curriculum, use_gpu=True, batch=16, mesh=None,
                 # mixed curriculum: clean GT-geometry crops anchor the
                 # easy-alignment gradient signal while predicted crops
                 # keep the serving distribution dominant; validation
-                # stays predicted-only (the distribution that ships)
+                # stays predicted-only (the distribution that ships).
+                # Char GT crops additionally jitter (_jitter_bbox):
+                # serving geometry noise with EXACT labels.
+                aug = 2 if mode is Modes.TRAIN_CHAR else 0
                 train_samples = train_samples + collect_stage_samples(
-                    mode, train_ds)
+                    mode, train_ds, char_augment=aug)
             val_samples = collect_stage_samples_predicted(
                 mode, val_ds, weights, log=log)
         else:
