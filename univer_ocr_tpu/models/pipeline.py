@@ -1782,13 +1782,20 @@ class OCRPipeline:
         so fanning the menu over threads bounds cold warmup by the
         slowest program instead of the sum."""
         H, W = self.page_shape[1], self.page_shape[2]
-        self.ocr_pages([np.zeros(self.page_shape, np.float32)] * self.chunk)
-        # the 1-page latency path: front + stack pad at batch 1 (every
-        # other program is batch-canonical via _pad_stack)
-        self.ocr_pages([np.zeros(self.page_shape, np.float32)])
         mono_dev = jnp.zeros((self.chunk, H, W, 1), jnp.float32)
         para_bits = np.zeros((self.chunk, H, (W + 7) // 8, 1), np.uint8)
         stacks = (mono_dev, self._prep_stacks(jnp.asarray(para_bits)))
+        # the chunk path (front + planner at full chunk batch), the
+        # 1-page chain, and every menu shape are INDEPENDENT program
+        # sets — warm them concurrently (the pool fan below), not
+        # serially: on a warm cache the cost is per-program trace+load,
+        # so the fan bounds startup by the slowest member
+        entry_jobs = [
+            lambda: self.ocr_pages(
+                [np.zeros(self.page_shape, np.float32)] * self.chunk),
+            lambda: self.ocr_pages(
+                [np.zeros(self.page_shape, np.float32)]),
+        ]
 
         def one_shape(shape):
             hb, wb = shape
@@ -1863,8 +1870,11 @@ class OCRPipeline:
             return None
 
         with ThreadPoolExecutor(max_workers=16) as pool:
+            entry_futs = [pool.submit(j) for j in entry_jobs]
             tails = [t for t in pool.map(one_shape, self.line_shape_menu)
                      if t is not None]
+            for f in entry_futs:
+                f.result()
 
         if tails:
             def warm_tail():
