@@ -29,6 +29,12 @@ def arg(i, default):
     return int(args[i]) if len(args) > i else default
 
 
+#: --lr-scale=X multiplies every stage lr (fine-tuning passes want a
+#: gentler step than the reference's from-scratch 0.0015)
+LR_SCALE = next((float(f.split('=')[1]) for f in flags
+                 if f.startswith('--lr-scale=')), 1.0)
+
+
 CURRICULUM = [
     (Modes.TRAIN_MONOCHROME, 0.0015, 0.995, arg(0, 12)),
     (Modes.TRAIN_PARAGRAPH, 0.0015, 0.995, arg(1, 12)),
@@ -36,7 +42,8 @@ CURRICULUM = [
     (Modes.TRAIN_CHAR, 0.0015, 0.97, arg(3, 4)),
     (Modes.TRAIN_ALL, 0.001, 0.97, arg(4, 0)),
 ]
-CURRICULUM = [c for c in CURRICULUM if c[3] > 0]
+CURRICULUM = [(m, lr * LR_SCALE, step, ep)
+              for m, lr, step, ep in CURRICULUM if ep > 0]
 
 batched = '--batched' in flags or any(f.startswith('--dp=') for f in flags)
 batch = next((int(f.split('=')[1]) for f in flags
